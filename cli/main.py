@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Denoiser-training dispatcher — reference `main.py` equivalent.
+
+Same flags and behavior (reference main.py:24-87): seed 2023, pick
+(noise_type, intensity, model) by index, 10k-window subsample, 80/20 split,
+Adam/MSE training, checkpoints + output.txt result line. TPU-native:
+device-resident data, one jitted scan per epoch.
+
+Example:
+    python cli/main.py --model_index 4 --noise_type_index 3 --intensity_index 0
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+
+from ecg_denoise_tpu.config import build_argparser, config_from_args
+from ecg_denoise_tpu.data.dataset import load_split_arrays
+from ecg_denoise_tpu.models import build_model
+from ecg_denoise_tpu.train import fit
+
+
+def main():
+    args = build_argparser(__doc__).parse_args()
+    cfg = config_from_args(args)
+    for k, v in vars(args).items():
+        print(k, v)
+
+    tr_n, tr_c, te_n, te_c = load_split_arrays(
+        cfg.noise_name, cfg.noise_intensity, path=cfg.data_path,
+        n_select=cfg.n_select, seed=cfg.seed,
+    )
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg.model_index, use_pallas=cfg.use_pallas, dtype=dtype)
+
+    mesh = None
+    if cfg.n_data or cfg.n_model > 1:
+        from ecg_denoise_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.n_data, cfg.n_model)
+
+    fit(
+        model, tr_n, tr_c, te_n, te_c,
+        epochs=cfg.epochs, batch_size=cfg.batch_size, learning_rate=cfg.lr,
+        model_name=cfg.model_name, noise_name=cfg.noise_name,
+        noise_intensity=cfg.noise_intensity, seed=cfg.seed,
+        model_save_dir=cfg.model_save_dir, output_file=cfg.output_file,
+        mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Typed config + the reference's public flag surface.
+
+The reference's flags come from the external `global_utils.TorchArgs`
+(at least --batch_size/--epochs, consumed at main.py:40,85-86) extended
+per-script with --intensity_index/--noise_type_index/--model_index
+(main.py:31-33). This module keeps those names (so reference invocations run
+unchanged) and adds TPU-native knobs (--use_pallas, --dtype, --mesh, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+NOISE_INTENSITIES = [-4, -2, 0, 2, 4]
+NOISE_TYPES = ["bw", "ma", "em", "emb"]
+MODEL_NAMES = ["unet", "DANet", "ralenet_nra", "ralenet_mlp", "ralenet", "ACDAE"]
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 32
+    epochs: int = 100
+    lr: float = 1e-3
+    intensity_index: int = 0
+    noise_type_index: int = 0
+    model_index: int = 0
+    seed: int = 2023
+    n_select: int = 10_000
+    data_path: str | None = None
+    model_save_dir: str = "./model_save"
+    output_file: str = "./output.txt"
+    use_pallas: bool = False
+    dtype: str = "float32"
+    n_data: int | None = None  # data-parallel mesh size (None = all devices)
+    n_model: int = 1  # tensor-parallel mesh size
+
+    @property
+    def noise_name(self) -> str:
+        return NOISE_TYPES[self.noise_type_index]
+
+    @property
+    def noise_intensity(self) -> int:
+        return NOISE_INTENSITIES[self.intensity_index]
+
+    @property
+    def model_name(self) -> str:
+        return MODEL_NAMES[self.model_index]
+
+
+def build_argparser(description: str = "") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    # Reference flag surface (TorchArgs + per-script extensions).
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--intensity_index", type=int, default=0)
+    p.add_argument("--noise_type_index", type=int, default=0)
+    p.add_argument("--model_index", type=int, default=0)
+    # Framework extensions.
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--n_select", type=int, default=10_000)
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--model_save_dir", type=str, default="./model_save")
+    p.add_argument("--output_file", type=str, default="./output.txt")
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--n_data", type=int, default=None)
+    p.add_argument("--n_model", type=int, default=1)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    known = {f for f in TrainConfig.__dataclass_fields__}
+    return TrainConfig(**{k: v for k, v in vars(args).items() if k in known})

@@ -1,0 +1,99 @@
+"""Dataset loading + deterministic subsample/split.
+
+Equivalent of the reference's `Ecg_Dataset` (reference:
+local_utils/data_utils.py:88-117) plus the sampling/split logic from its
+dispatcher (reference: main.py:50-60): 10,000 windows sampled with seed 2023,
+then an 80/20 random split.
+
+TPU-first design: instead of a map-style dataset + per-batch host collation
+(the torch pattern), `load_split_arrays` returns whole train/test splits as
+contiguous numpy arrays. The training loop puts them on device *once* and
+`lax.scan`s over batches — the MIT-BIH working set (10k x 2 x 256 float32 =
+~20 MB) trivially fits in HBM, so the per-step H2D transfer the reference
+pays (denoise_train.py:47-49) is eliminated entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+INTENSITY_DIRS = {-4: "m4", -2: "m2", 0: "0", 2: "p2", 4: "p4"}
+
+
+class EcgDataset:
+    """Loads the dict_data cache; same layout/fallbacks as the reference.
+
+    noise_name: str or list of str in {'bw','ma','em','emb'};
+    noise_intensity: int in {-4,-2,0,2,4}; path: cache dir override
+    (reference falls back ./data/dict_data -> ../data/dict_data).
+    """
+
+    def __init__(self, noise_name="bw", noise_intensity=0, path: str | None = None):
+        if isinstance(noise_name, str):
+            noise_name = [noise_name]
+        if noise_intensity not in INTENSITY_DIRS:
+            raise ValueError("noise intensity should be in [-4, -2, 0, 2, 4]")
+        if path is None:
+            for cand in ("./data/dict_data/", "../data/dict_data/"):
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        if path is None or not os.path.exists(path):
+            raise FileNotFoundError(
+                "dict_data cache not found; build it with "
+                "`python cli/build_data.py` (see ecg_denoise_tpu.data.cache)"
+            )
+        data = [
+            np.load(os.path.join(path, INTENSITY_DIRS[noise_intensity], n + ".npy"))
+            for n in noise_name
+        ]
+        self.data = np.concatenate(data, axis=0)
+        self.ground_data = np.load(os.path.join(path, "ecg.npy"))
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, index):
+        return self.data[index], self.ground_data[index]
+
+
+def sample_and_split(
+    n_total: int, n_select: int = 10_000, train_ratio: float = 0.8, seed: int = 2023
+):
+    """Deterministic subsample + split, mirroring main.py:52-58.
+
+    Uses python `random` with the reference's seed for the subsample (the
+    reference's `random.sample(range(N), 10000)`), then a seeded numpy
+    permutation for the 80/20 split (the reference used torch.random_split,
+    whose RNG stream we do not reproduce — the *procedure* and determinism
+    are preserved).
+    """
+    n_select = min(n_select, n_total)
+    rnd = random.Random()
+    rnd.seed(seed)
+    selected = rnd.sample(range(n_total), n_select)
+    perm = np.random.default_rng(seed).permutation(n_select)
+    n_train = int(train_ratio * n_select)
+    sel = np.asarray(selected)
+    return sel[perm[:n_train]], sel[perm[n_train:]]
+
+
+def load_split_arrays(
+    noise_name="bw",
+    noise_intensity=0,
+    path: str | None = None,
+    n_select: int = 10_000,
+    seed: int = 2023,
+):
+    """Return (train_noisy, train_clean, test_noisy, test_clean) float32 arrays.
+
+    Shapes: (N_train, 2, 256) etc. Ready for single jax.device_put.
+    """
+    ds = EcgDataset(noise_name, noise_intensity, path)
+    tr_idx, te_idx = sample_and_split(len(ds), n_select, seed=seed)
+    noisy = ds.data.astype(np.float32)
+    clean = ds.ground_data.astype(np.float32)
+    return noisy[tr_idx], clean[tr_idx], noisy[te_idx], clean[te_idx]

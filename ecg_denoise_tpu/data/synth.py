@@ -1,0 +1,115 @@
+"""Synthetic ECG + noise record generation.
+
+The reference trains on MIT-BIH Arrhythmia windows corrupted with MIT-BIH
+Noise-Stress-Test records (reference: local_utils/local_utils.py:10-11 paths;
+data caches are gitignored and the builder script is absent). PhysioNet data
+cannot be downloaded in this environment, so the framework ships a synthetic
+generator producing records with the same shapes/conventions:
+
+* ECG records: (650_000, 2) samples at 360 Hz — sum-of-Gaussians PQRST beats
+  with RR-interval and amplitude variability per channel.
+* Noise records: (650_000, 2) —
+    bw: baseline wander (random-phase low-frequency sinusoid mixture),
+    ma: muscle artifact (high-frequency filtered white noise, bursty),
+    em: electrode motion (random steps + low-freq transients + broadband),
+  mirroring the spectral character of the NSTDB bw/ma/em records.
+
+When real PhysioNet files are present, `ecg_denoise_tpu.data.wfdb_io` reads
+them instead; the cache builder (`ecg_denoise_tpu.data.cache`) accepts either
+source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RECORD_LEN = 650_000
+FS = 360.0
+N_CHANNELS = 2
+
+# (center phase offset in s, width in s, amplitude in mV) for P,Q,R,S,T waves.
+_PQRST = [
+    (-0.20, 0.025, 0.12),   # P
+    (-0.030, 0.010, -0.14), # Q
+    (0.000, 0.012, 1.10),   # R
+    (0.035, 0.012, -0.25),  # S
+    (0.250, 0.050, 0.30),   # T
+]
+
+
+def synth_ecg_record(seed: int, length: int = RECORD_LEN, n_channels: int = N_CHANNELS) -> np.ndarray:
+    """Generate a synthetic 2-lead ECG record, shape (length, n_channels)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / FS
+    sig = np.zeros((length, n_channels))
+
+    # Beat times with RR variability around 0.8 s (75 bpm).
+    beat_times = []
+    tcur = rng.uniform(0.2, 0.8)
+    while tcur < t[-1] + 1.0:
+        beat_times.append(tcur)
+        tcur += rng.normal(0.8, 0.05)
+    beat_times = np.asarray(beat_times)
+
+    for ch in range(n_channels):
+        ch_scale = rng.uniform(0.7, 1.3)
+        ch_sign = 1.0 if ch == 0 else rng.choice([1.0, 0.6, -0.5])
+        for mu, width, amp in _PQRST:
+            amp_jit = amp * ch_scale * ch_sign * rng.uniform(0.9, 1.1, size=beat_times.shape)
+            centers = beat_times + mu
+            # Accumulate each beat's Gaussian bump over a local support only.
+            half = int(5 * width * FS) + 1
+            idx_center = np.round(centers * FS).astype(np.int64)
+            for bc, a in zip(idx_center, amp_jit):
+                lo = max(bc - half, 0)
+                hi = min(bc + half, length)
+                if lo >= hi:
+                    continue
+                tt = (np.arange(lo, hi) / FS) - (bc / FS)
+                sig[lo:hi, ch] += a * np.exp(-0.5 * (tt / width) ** 2)
+    return sig.astype(np.float64)
+
+
+def _bandlimited_noise(rng: np.random.Generator, length: int, f_lo: float, f_hi: float) -> np.ndarray:
+    """White noise band-passed in the frequency domain (cheap, exact)."""
+    x = rng.standard_normal(length)
+    X = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(length, d=1.0 / FS)
+    mask = (freqs >= f_lo) & (freqs <= f_hi)
+    X[~mask] = 0.0
+    y = np.fft.irfft(X, n=length)
+    s = y.std()
+    return y / s if s > 0 else y
+
+
+def synth_noise_record(kind: str, seed: int, length: int = RECORD_LEN, n_channels: int = N_CHANNELS) -> np.ndarray:
+    """Generate a synthetic NSTDB-like noise record, shape (length, n_channels).
+
+    kind: 'bw' | 'ma' | 'em'. Unit variance per channel.
+    """
+    rng = np.random.default_rng(hash((kind, seed)) % (2**31))
+    out = np.zeros((length, n_channels))
+    for ch in range(n_channels):
+        if kind == "bw":
+            # Baseline wander: energy below ~0.7 Hz (respiration-band drifts).
+            y = _bandlimited_noise(rng, length, 0.03, 0.7)
+        elif kind == "ma":
+            # Muscle artifact: broadband 5-120 Hz with burst amplitude modulation.
+            y = _bandlimited_noise(rng, length, 5.0, 120.0)
+            env = 0.4 + np.clip(_bandlimited_noise(rng, length, 0.02, 0.3), -1.0, 3.0)
+            y = y * np.abs(env)
+        elif kind == "em":
+            # Electrode motion: steps + low-freq transients + some broadband.
+            steps = np.zeros(length)
+            n_steps = length // 20_000
+            pos = rng.integers(0, length, size=n_steps)
+            amp = rng.standard_normal(n_steps) * 2.0
+            for p, a in zip(pos, amp):
+                steps[p:] += a
+            steps -= np.linspace(steps[0], steps[-1], length)  # detrend
+            y = 0.7 * _bandlimited_noise(rng, length, 0.05, 3.0) + 0.3 * steps / (steps.std() + 1e-9)
+        else:
+            raise ValueError(f"unknown noise kind {kind!r} (want bw|ma|em)")
+        s = y.std()
+        out[:, ch] = y / s if s > 0 else y
+    return out.astype(np.float64)

@@ -1,0 +1,4 @@
+from ecg_denoise_tpu.metrics.denoise import RMSE, SNR, snr_improvement, PRD
+from ecg_denoise_tpu.metrics.cls import accuracy, precision, f1_score
+
+__all__ = ["RMSE", "SNR", "snr_improvement", "PRD", "accuracy", "precision", "f1_score"]

@@ -1,0 +1,61 @@
+"""Denoising quality metrics (per-sample SNR / RMSE / PRD).
+
+Semantics match the reference implementation exactly
+(reference: local_utils/evaluate.py:10-51): inputs are batched signals of
+shape (B, C, L) (any trailing layout works — everything after the batch dim
+is flattened), outputs are per-sample vectors of shape (B,).
+
+All functions are pure jnp and jit/vmap/pjit-safe; they run on-device inside
+the training step so no host transfer is needed for metric accumulation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _flatten_batch(y: jnp.ndarray) -> jnp.ndarray:
+    return y.reshape(y.shape[0], -1)
+
+
+def RMSE(y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample root-mean-squared error over all non-batch dims.
+
+    Matches reference evaluate.py:10-29 (torch.sqrt(mean((y-y_pred)**2, -1))
+    after flatten(start_dim=1)).
+    """
+    y = _flatten_batch(y)
+    y_pred = _flatten_batch(y_pred)
+    return jnp.sqrt(jnp.mean((y - y_pred) ** 2, axis=-1))
+
+
+def SNR(y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample output signal-to-noise ratio in dB.
+
+    10*log10( E[y^2] / E[(y - y_pred)^2] ) — the *output* SNR of the
+    reconstruction, matching reference evaluate.py:31-51. Note the reference
+    reports output SNR (not SNR improvement); see `snr_improvement`.
+    """
+    y = _flatten_batch(y)
+    y_pred = _flatten_batch(y_pred)
+    signal = jnp.mean(y**2, axis=-1)
+    err = jnp.mean((y - y_pred) ** 2, axis=-1)
+    return 10.0 * jnp.log10(signal / err)
+
+
+def snr_improvement(y: jnp.ndarray, y_noisy: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """SNR_imp = SNR(y, y_pred) - SNR(y, y_noisy), per sample (dB).
+
+    Not present in the reference as a function, but computable from its SNR
+    primitive (survey §2d note); provided first-class here.
+    """
+    return SNR(y, y_pred) - SNR(y, y_noisy)
+
+
+def PRD(y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Percentage RMS difference: 100 * sqrt(sum((y-yp)^2) / sum(y^2))."""
+    y = _flatten_batch(y)
+    y_pred = _flatten_batch(y_pred)
+    num = jnp.sum((y - y_pred) ** 2, axis=-1)
+    den = jnp.sum(y**2, axis=-1)
+    return 100.0 * jnp.sqrt(num / den)

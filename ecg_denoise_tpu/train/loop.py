@@ -1,0 +1,112 @@
+"""The training loop — reference-equivalent surface, TPU-native core.
+
+Mirrors the reference `train()` (reference: denoise_train.py:15-103):
+Adam(lr=1e-3), MSE loss, per-epoch train + eval SNR/RMSE means, checkpoint
+every 10 epochs under model_save/{name}/..., a final result line appended to
+output.txt in the reference's exact format, and the same return value
+(train_snr_list, test_snr_list, train_rmse_list, test_rmse_list).
+
+TPU-native core: the splits are device_put once; each epoch is ONE jitted
+scan (see train/steps.py). With data parallelism, pass `mesh` — arrays are
+sharded batch-wise and the same jitted epoch runs SPMD with XLA-inserted
+gradient psums (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecg_denoise_tpu.train.state import create_train_state
+from ecg_denoise_tpu.train.steps import make_epoch_fns
+from ecg_denoise_tpu.train.checkpoint import checkpoint_path, save_checkpoint, load_checkpoint
+
+
+def fit(
+    model,
+    train_noisy: np.ndarray,
+    train_clean: np.ndarray,
+    test_noisy: np.ndarray,
+    test_clean: np.ndarray,
+    *,
+    epochs: int = 100,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    model_name: str = "model",
+    noise_name: str = "bw",
+    noise_intensity: int = -4,
+    seed: int = 2023,
+    model_save_dir: str = "./model_save",
+    output_file: str = "./output.txt",
+    checkpoint_every: int = 10,
+    resume_path: Optional[str] = None,
+    frozen_mask: Any = None,
+    mesh=None,
+    log_every: int = 1,
+    verbose: bool = True,
+):
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    sample = jnp.asarray(train_noisy[:2])
+    state, tx = create_train_state(
+        model, init_key, sample, learning_rate=learning_rate, frozen_mask=frozen_mask
+    )
+    if resume_path:
+        state = load_checkpoint(resume_path, state)
+
+    if mesh is not None:
+        from ecg_denoise_tpu.parallel.mesh import shard_batch, replicate_state
+
+        state = replicate_state(state, mesh)
+        put = lambda a: shard_batch(jnp.asarray(a), mesh)
+    else:
+        put = lambda a: jax.device_put(jnp.asarray(a))
+
+    tr_n, tr_c = put(train_noisy), put(train_clean)
+    te_n, te_c = put(test_noisy), put(test_clean)
+
+    train_epoch, eval_epoch = make_epoch_fns(model, tx)
+
+    train_snr_list, test_snr_list = [], []
+    train_rmse_list, test_rmse_list = [], []
+    t0 = time.time()
+    test_metrics = {"snr": float("nan"), "rmse": float("nan")}
+    for epoch in range(epochs):
+        key, ep_key = jax.random.split(key)
+        state, train_metrics = train_epoch(state, tr_n, tr_c, ep_key, batch_size)
+        test_metrics = eval_epoch(state, te_n, te_c, batch_size)
+        train_metrics = jax.device_get(train_metrics)
+        test_metrics = jax.device_get(test_metrics)
+        train_snr_list.append(float(train_metrics["snr"]))
+        test_snr_list.append(float(test_metrics["snr"]))
+        train_rmse_list.append(float(train_metrics["rmse"]))
+        test_rmse_list.append(float(test_metrics["rmse"]))
+        if verbose and (epoch + 1) % log_every == 0:
+            dt = time.time() - t0
+            print(
+                f"[{model_name}] epoch {epoch + 1:03d}/{epochs} "
+                f"loss={train_metrics['loss']:.5f} "
+                f"train_snr={train_metrics['snr']:.3f} test_snr={test_metrics['snr']:.3f} "
+                f"test_rmse={test_metrics['rmse']:.4f} ({dt:.1f}s)"
+            )
+        if (epoch + 1) % checkpoint_every == 0:
+            path = checkpoint_path(model_save_dir, model_name, epoch, noise_name, noise_intensity)
+            save_checkpoint(path, state)
+            if verbose:
+                print(f"saved {path}")
+
+    if output_file:
+        os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+        with open(output_file, "a") as f:
+            # Reference format (denoise_train.py:100-101).
+            f.write(
+                f"{model_name}_{epochs - 1}_{noise_name}_intensity{noise_intensity}:"
+                f"snr:{test_metrics['snr']}, rmse:{test_metrics['rmse']}\n"
+            )
+
+    return state, (train_snr_list, test_snr_list, train_rmse_list, test_rmse_list)

@@ -1,0 +1,125 @@
+"""Jitted train/eval steps and whole-epoch scan functions.
+
+TPU-first redesign of the reference training loop
+(reference: denoise_train.py:36-89). The reference pays, per step: an H2D
+batch copy (denoise_train.py:47-49), a D2H loss sync (:54), and python
+dispatch for fwd/bwd/opt/metrics. Here the full train/test splits live in
+HBM and one jitted `lax.scan` runs an entire epoch — forward, backward,
+Adam update, BatchNorm stat updates, and per-batch SNR/RMSE — with a single
+host transfer of the epoch's metric means at the end.
+
+Loss = mean MSE (reference denoise_train.py:53). Metrics use the same
+on-device formulas as the reference's evaluate.py (see metrics/denoise.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ecg_denoise_tpu.metrics import SNR, RMSE
+from ecg_denoise_tpu.train.state import TrainState
+
+
+def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True):
+    """Build (train_epoch, eval_epoch) jitted functions for `model`.
+
+    train_epoch(state, noisy, clean, key) -> (state, metrics dict)
+        noisy/clean: (N, C, L) device arrays; the epoch shuffles on device,
+        drops the ragged tail (N % batch) like a drop_last loader, and scans.
+    eval_epoch(state, noisy, clean) -> metrics dict
+        processes all N samples (tail handled by masked padding).
+    Metrics are epoch means of the per-sample SNR/RMSE plus mean loss.
+    """
+
+    def apply_train(params, batch_stats, x):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+
+    def apply_eval(variables, x):
+        return model.apply(variables, x, train=False)
+
+    def loss_fn(params, batch_stats, data, target):
+        pred, new_stats = apply_train(params, batch_stats, data)
+        loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+        return loss, (pred, new_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch):
+        data, target = batch
+        (loss, (pred, new_stats)), grads = grad_fn(state.params, state.batch_stats, data, target)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt, step=state.step + 1
+        )
+        metrics = (loss, jnp.mean(SNR(target, pred)), jnp.mean(RMSE(target, pred)))
+        return state, metrics
+
+    @partial(jax.jit, static_argnums=(4,), donate_argnums=(0,) if donate else ())
+    def train_epoch(state: TrainState, noisy, clean, key, batch_size: int = 32):
+        n = noisy.shape[0]
+        n_batches = n // batch_size
+        perm = jax.random.permutation(key, n)[: n_batches * batch_size]
+        nb = noisy[perm].reshape(n_batches, batch_size, *noisy.shape[1:])
+        cb = clean[perm].reshape(n_batches, batch_size, *clean.shape[1:])
+        state, (losses, snrs, rmses) = jax.lax.scan(train_step, state, (nb, cb))
+        return state, {
+            "loss": jnp.mean(losses),
+            "snr": jnp.mean(snrs),
+            "rmse": jnp.mean(rmses),
+        }
+
+    @partial(jax.jit, static_argnums=(3,))
+    def eval_epoch(state: TrainState, noisy, clean, batch_size: int = 32):
+        n = noisy.shape[0]
+        n_batches = -(-n // batch_size)
+        pad = n_batches * batch_size - n
+        noisy_p = jnp.pad(noisy, ((0, pad), (0, 0), (0, 0)))
+        # Pad targets with ones (not zeros) so padded rows' SNR stays finite;
+        # their weight is 0 so they do not contribute to the means.
+        clean_p = jnp.pad(clean, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+        weights = jnp.pad(jnp.ones((n,)), (0, pad))
+        nb = noisy_p.reshape(n_batches, batch_size, *noisy.shape[1:])
+        cb = clean_p.reshape(n_batches, batch_size, *clean.shape[1:])
+        wb = weights.reshape(n_batches, batch_size)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def step(carry, batch):
+            data, target, w = batch
+            pred = apply_eval(variables, data).astype(jnp.float32)
+            loss_num = jnp.sum(w[:, None, None] * (pred - target) ** 2)
+            snr = jnp.sum(SNR(target, pred) * w)
+            rmse = jnp.sum(RMSE(target, pred) * w)
+            return carry, (loss_num, snr, rmse)
+
+        _, (loss_nums, snrs, rmses) = jax.lax.scan(step, None, (nb, cb, wb))
+        denom = jnp.float32(n)
+        per_elem = jnp.float32(noisy.shape[1] * noisy.shape[2])
+        return {
+            "loss": jnp.sum(loss_nums) / (denom * per_elem),
+            "snr": jnp.sum(snrs) / denom,
+            "rmse": jnp.sum(rmses) / denom,
+        }
+
+    return train_epoch, eval_epoch
+
+
+def make_denoise_fn(model, variables, batch_size: Optional[int] = None):
+    """Jitted pure inference fn x -> denoised(x) for eval/serving paths."""
+
+    @jax.jit
+    def denoise(x):
+        return model.apply(variables, x, train=False)
+
+    return denoise

@@ -1,0 +1,106 @@
+"""Data pipeline tests: SNR-targeted mixing, synthetic records, cache build +
+dataset load + split determinism."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecg_denoise_tpu.data.noise import gnoisegen, single_snr_noise_add, batch_snr_noise_add, jax_snr_noise_add
+from ecg_denoise_tpu.data.synth import synth_ecg_record, synth_noise_record
+from ecg_denoise_tpu.data.cache import build_dict_data
+from ecg_denoise_tpu.data.dataset import EcgDataset, load_split_arrays, sample_and_split
+from ecg_denoise_tpu.metrics import SNR
+
+
+def _measured_snr(clean, noisy):
+    c, n = clean.ravel(), noisy.ravel()
+    return 10 * np.log10(np.mean(c**2) / np.mean((n - c) ** 2))
+
+
+def test_gnoisegen_hits_target_snr(rng):
+    x = rng.standard_normal((1000, 2))
+    y = rng.standard_normal((1000, 2)) * 5
+    for snr in (-4, 0, 4):
+        noisy, _ = gnoisegen(x, y, snr)
+        assert _measured_snr(x, noisy) == pytest.approx(snr, abs=1e-6)
+
+
+def test_single_snr_noise_add(rng):
+    x = rng.standard_normal((256, 2))
+    n = rng.standard_normal((256, 2)) * 0.1
+    noisy = single_snr_noise_add(x, n, 2.0)
+    assert _measured_snr(x, noisy) == pytest.approx(2.0, abs=1e-6)
+
+
+def test_batch_snr_noise_add(rng):
+    data = rng.standard_normal((4, 256, 2))
+    record = rng.standard_normal((10_000, 2))
+    noisy = batch_snr_noise_add(data, record, -4.0, rng)
+    for i in range(4):
+        assert _measured_snr(data[i], noisy[i]) == pytest.approx(-4.0, abs=1e-4)
+
+
+def test_jax_snr_noise_add(rng):
+    data = jnp.asarray(rng.standard_normal((4, 2, 256)), jnp.float32)
+    record = jnp.asarray(rng.standard_normal((10_000, 2)), jnp.float32)
+    noisy = jax_snr_noise_add(data, record, -4.0, jax.random.PRNGKey(0))
+    snrs = np.asarray(SNR(data, noisy))  # SNR(clean, noisy) == input snr
+    np.testing.assert_allclose(snrs, -4.0, atol=1e-3)
+
+
+def test_synth_records():
+    ecg = synth_ecg_record(0, length=20_000)
+    assert ecg.shape == (20_000, 2)
+    for kind in ("bw", "ma", "em"):
+        nz = synth_noise_record(kind, 0, length=20_000)
+        assert nz.shape == (20_000, 2)
+        np.testing.assert_allclose(nz.std(axis=0), 1.0, atol=0.05)
+    # bw should be much smoother than ma: compare first-difference energy.
+    bw = synth_noise_record("bw", 0, length=20_000)
+    ma = synth_noise_record("ma", 0, length=20_000)
+    assert np.abs(np.diff(bw[:, 0])).mean() < 0.1 * np.abs(np.diff(ma[:, 0])).mean()
+
+
+@pytest.fixture(scope="module")
+def small_cache(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dict_data"))
+    info = build_dict_data(out, n_synth_records=1, intensities=(-4, 0))
+    return out, info
+
+
+def test_cache_layout_and_alignment(small_cache):
+    out, info = small_cache
+    assert os.path.exists(os.path.join(out, "ecg.npy"))
+    for d in ("m4", "0"):
+        for n in ("bw", "ma", "em", "emb"):
+            assert os.path.exists(os.path.join(out, d, n + ".npy"))
+    clean = np.load(os.path.join(out, "ecg.npy"))
+    noisy = np.load(os.path.join(out, "m4", "emb.npy"))
+    assert clean.shape == noisy.shape
+    assert clean.shape[1:] == (2, 256)
+    assert clean.shape[0] == info["n_windows"]
+    # Windows are z-normed per stretch: global mean approx 0.
+    assert abs(clean.mean()) < 0.05
+    # Measured SNR over the full corpus should be close to -4 dB.
+    snr = _measured_snr(clean, noisy)
+    assert snr == pytest.approx(-4.0, abs=0.5)
+
+
+def test_dataset_and_split(small_cache):
+    out, _ = small_cache
+    ds = EcgDataset("emb", -4, path=out)
+    assert len(ds) > 0
+    noisy, clean = ds[0]
+    assert noisy.shape == (2, 256) and clean.shape == (2, 256)
+
+    tr, te = sample_and_split(len(ds), n_select=min(len(ds), 500))
+    assert len(set(tr) & set(te)) == 0
+    tr2, te2 = sample_and_split(len(ds), n_select=min(len(ds), 500))
+    np.testing.assert_array_equal(tr, tr2)
+
+    a = load_split_arrays("emb", -4, path=out, n_select=200)
+    assert a[0].shape[0] == 160 and a[2].shape[0] == 40
+    assert a[0].dtype == np.float32

@@ -1,0 +1,116 @@
+"""Model construction/shape/jit tests for every architecture in the registry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecg_denoise_tpu.models import build_model, MODEL_NAMES, ResNetCls, NewRale
+from ecg_denoise_tpu.models.ralenet_12leads import frozen_param_mask
+
+# Reference parameter counts, verified against the torch models
+# (model/transformer.py ralenet(high_level_enhence=True): 1,087,282;
+#  model/UNet.py UNet: 10,374).
+REF_PARAM_COUNTS = {"unet": 10_374, "ralenet": 1_087_282}
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("idx,name", list(enumerate(MODEL_NAMES)))
+def test_denoiser_shapes(idx, name, key):
+    model = build_model(idx)
+    x = jnp.asarray(np.random.default_rng(idx).standard_normal((2, 2, 256)), jnp.float32)
+    variables = model.init(key, x, train=True)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 2, 256)
+    assert np.isfinite(np.asarray(y)).all()
+    if name in REF_PARAM_COUNTS:
+        n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        assert n == REF_PARAM_COUNTS[name]
+
+
+def test_ralenet_variants_differ(key):
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2, 256)), jnp.float32)
+    outs = {}
+    for name in ("ralenet_nra", "ralenet_mlp", "ralenet"):
+        m = build_model(name)
+        v = m.init(key, x, train=True)
+        outs[name] = np.asarray(m.apply(v, x, train=False))
+    # nra has no rwattn params; mlp/full do.
+    m_nra = build_model("ralenet_nra")
+    v_nra = m_nra.init(key, x, train=True)
+    assert not any("rwattn" in "/".join(map(str, p)) for p in _param_paths(v_nra["params"]))
+    m_full = build_model("ralenet")
+    v_full = m_full.init(key, x, train=True)
+    assert any("rwattn" in "/".join(map(str, p)) for p in _param_paths(v_full["params"]))
+
+
+def _param_paths(params):
+    return [
+        tuple(getattr(k, "key", str(k)) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+
+
+def test_ralenet_jit_forward(key):
+    model = build_model("ralenet")
+    x = jnp.ones((2, 2, 256))
+    variables = model.init(key, x, train=True)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    y = fwd(variables, x)
+    assert y.shape == (2, 2, 256)
+
+
+def test_ralenet_r_pos_hook(key):
+    """r_pos recentres the bias window; different r_pos -> different output
+    once the bias table is nonzero."""
+    model = build_model("ralenet")
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 2, 256)), jnp.float32)
+    variables = model.init(key, x, train=True)
+    # Bias tables are zero-init (reference quirk), so bump them to nonzero.
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.05 if any("rwattn" in str(getattr(k, "key", "")) for k in p) else v,
+        variables["params"],
+    )
+    variables = {**variables, "params": params}
+    y_a = model.apply(variables, x, train=False, r_pos=jnp.asarray(64))
+    y_b = model.apply(variables, x, train=False, r_pos=jnp.asarray(192))
+    y_def = model.apply(variables, x, train=False)
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
+    assert np.isfinite(np.asarray(y_def)).all()
+
+
+def test_resnet_cls_shapes(key):
+    model = ResNetCls()
+    x = jnp.ones((2, 2, 1000))
+    variables = model.init(key, x, train=True)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 2)
+
+
+def test_newrale_freeze_mask(key):
+    model = NewRale()
+    x = jnp.ones((2, 12, 256))
+    variables = model.init(key, x, train=True)
+    mask = frozen_param_mask(variables["params"])
+    leaves = jax.tree.leaves(mask)
+    assert any(leaves) and not all(leaves)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 12, 256)
+
+
+def test_batchnorm_updates_stats(key):
+    model = build_model("unet")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 2, 256)) * 3 + 1, jnp.float32)
+    variables = model.init(key, x, train=True)
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mut["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
