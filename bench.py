@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: RA-LENet (full) denoising throughput, windows/sec/chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md), so the
+north-star comparison is the reference PyTorch model on CPU (BASELINE.json:
+">=50x windows/sec/chip vs PyTorch-CPU"). The torch-CPU number below was
+measured in this image on 2026-08-16 (reference model/transformer.py ralenet,
+high_level_enhence=True, eval(), no_grad, batch 32, best of 5):
+107 windows/sec. Re-measure live with --measure-baseline.
+
+Our measurement: jitted forward (inference path) of
+ecg_denoise_tpu.models.RaleNet('full') at batch BATCH on the default JAX
+platform (the driver runs this on one real TPU chip), steady-state over
+ITERS iterations after warmup, block_until_ready timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+TORCH_CPU_BASELINE_WPS = 107.0  # reference ralenet fwd, CPU, batch 32 (see docstring)
+
+
+def measure_torch_baseline(batch: int = 32, iters: int = 5) -> float:
+    """Run the reference PyTorch model on CPU (for --measure-baseline)."""
+    import sys
+    import types
+
+    import torch
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.ModuleType("torchvision.ops")
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", tv.ops)
+    sys.path.insert(0, "/root/reference")
+    from model import transformer  # noqa: the reference package
+
+    m = transformer.ralenet(high_level_enhence=True)
+    m.eval()
+    x = torch.randn(batch, 2, 256)
+    with torch.no_grad():
+        for _ in range(2):
+            m(x)
+        t0 = time.time()
+        for _ in range(iters):
+            m(x)
+        dt = (time.time() - t0) / iters
+    return batch / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ecg_denoise_tpu.models import build_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_model("ralenet", use_pallas=args.use_pallas, dtype=dtype)
+    x = jnp.ones((args.batch, 2, 256), jnp.float32)
+    # jit the init: eager init dispatches hundreds of tiny ops individually
+    # (minutes over the axon tunnel); jitted it is one program.
+    variables = jax.jit(lambda k, s: model.init(k, s, train=False))(
+        jax.random.PRNGKey(0), x[:2]
+    )
+
+    @jax.jit
+    def fwd(batch):
+        return model.apply(variables, batch, train=False)
+
+    jax.block_until_ready(fwd(x))  # compile + warmup
+    jax.block_until_ready(fwd(x))
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = fwd(x)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.iters
+    wps = args.batch / dt
+
+    baseline = (
+        measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_WPS
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ralenet_full_fwd_throughput",
+                "value": round(wps, 1),
+                "unit": "windows/sec/chip",
+                "vs_baseline": round(wps / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

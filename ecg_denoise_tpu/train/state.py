@@ -43,7 +43,9 @@ def create_train_state(
     get zero updates (the transfer-learning frozen-core path,
     reference: ralenet_12leads.py:694-696).
     """
-    variables = model.init(rng, sample_input, train=True)
+    # jitted init: one compiled program instead of hundreds of eager op
+    # dispatches (which are minutes-slow over a remote-TPU tunnel).
+    variables = jax.jit(lambda r, s: model.init(r, s, train=True))(rng, sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = optimizer or optax.adam(learning_rate)

@@ -26,10 +26,12 @@ def _toy_data(rng, n=64, c=2, l=256):
 def test_train_epoch_reduces_loss(rng):
     model = build_model("unet")
     noisy, clean = _toy_data(rng)
-    state, tx = create_train_state(model, jax.random.PRNGKey(0), jnp.asarray(noisy[:2]))
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(noisy[:2]), learning_rate=3e-3
+    )
     train_epoch, eval_epoch = make_epoch_fns(model, tx, donate=False)
     m0 = eval_epoch(state, jnp.asarray(noisy), jnp.asarray(clean), 16)
-    for i in range(5):
+    for i in range(10):
         state, tm = train_epoch(state, jnp.asarray(noisy), jnp.asarray(clean), jax.random.PRNGKey(i), 16)
     m1 = eval_epoch(state, jnp.asarray(noisy), jnp.asarray(clean), 16)
     assert float(m1["loss"]) < float(m0["loss"])
@@ -52,7 +54,7 @@ def test_fit_end_to_end(tmp_path, rng):
     state, hist = fit(
         model,
         noisy[:64], clean[:64], noisy[64:], clean[64:],
-        epochs=10, batch_size=16, model_name="unet",
+        epochs=10, batch_size=16, learning_rate=3e-3, model_name="unet",
         noise_name="bw", noise_intensity=-4,
         model_save_dir=str(tmp_path / "model_save"),
         output_file=out_file, verbose=False,
