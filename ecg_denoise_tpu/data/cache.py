@@ -43,7 +43,8 @@ def _znorm(x: np.ndarray) -> np.ndarray:
     return x / x.std(axis=0, keepdims=True)
 
 
-def load_source_records(data_root: str | None, n_synth_records: int, seed: int):
+def load_source_records(data_root: str | None, n_synth_records: int, seed: int,
+                        n_channels: int = 2):
     """Return (list of ecg records (T,2), dict of noise records (T,2)).
 
     Prefers real PhysioNet directories (mit-bih-arrhythmia / noise-stress-test
@@ -51,7 +52,7 @@ def load_source_records(data_root: str | None, n_synth_records: int, seed: int):
     synthetic records.
     """
     ecgs, noises = [], {}
-    if data_root:
+    if data_root and n_channels == 2:
         arr_dir = os.path.join(data_root, "mit-bih-arrhythmia-database-1.0.0")
         nst_dir = os.path.join(data_root, "mit-bih-noise-stress-test-database-1.0.0")
         if os.path.isdir(arr_dir) and os.path.isdir(nst_dir):
@@ -64,8 +65,14 @@ def load_source_records(data_root: str | None, n_synth_records: int, seed: int):
                 if os.path.exists(p + ".hea"):
                     noises[kind] = wfdb_io.rdrecord_digital(p).astype(np.float64)
     if not ecgs or len(noises) < 3:
-        ecgs = [synth.synth_ecg_record(seed + i) for i in range(n_synth_records)]
-        noises = {k: synth.synth_noise_record(k, seed + 1000) for k in ("bw", "ma", "em")}
+        ecgs = [
+            synth.synth_ecg_record(seed + i, n_channels=n_channels)
+            for i in range(n_synth_records)
+        ]
+        noises = {
+            k: synth.synth_noise_record(k, seed + 1000, n_channels=n_channels)
+            for k in ("bw", "ma", "em")
+        }
     return ecgs, noises
 
 
@@ -75,10 +82,15 @@ def build_dict_data(
     n_synth_records: int = 8,
     seed: int = 2023,
     intensities=(-4, -2, 0, 2, 4),
+    n_channels: int = 2,
 ) -> dict:
-    """Build the dict_data cache. Returns {'n_windows': N, 'out_dir': ...}."""
+    """Build the dict_data cache. Returns {'n_windows': N, 'out_dir': ...}.
+
+    n_channels=12 builds the 12-lead (LUDB-like) ExternalData cache the
+    transfer-learning path consumes (reference Transfer_learning.py:47).
+    """
     rng = np.random.default_rng(seed)
-    ecgs, noises = load_source_records(data_root, n_synth_records, seed)
+    ecgs, noises = load_source_records(data_root, n_synth_records, seed, n_channels)
 
     stretch = WINDOW * STRETCH_WINDOWS
     clean_stretches = []

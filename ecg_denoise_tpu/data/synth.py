@@ -36,6 +36,16 @@ _PQRST = [
     (0.250, 0.050, 0.30),   # T
 ]
 
+# Ventricular (PVC-like) beat morphology: no P wave, wide bizarre QRS,
+# discordant (inverted) T — the textbook V-beat signature the downstream
+# N-vs-V classifier (reference train_cls.py / ResNet_cls) discriminates.
+_PQRST_V = [
+    (-0.010, 0.040, -0.35),  # wide initial deflection
+    (0.020, 0.050, 1.40),    # broad dominant R
+    (0.090, 0.045, -0.50),   # slurred S
+    (0.280, 0.070, -0.45),   # discordant T
+]
+
 
 def synth_ecg_record(seed: int, length: int = RECORD_LEN, n_channels: int = N_CHANNELS) -> np.ndarray:
     """Generate a synthetic 2-lead ECG record, shape (length, n_channels)."""
@@ -68,6 +78,38 @@ def synth_ecg_record(seed: int, length: int = RECORD_LEN, n_channels: int = N_CH
                 tt = (np.arange(lo, hi) / FS) - (bc / FS)
                 sig[lo:hi, ch] += a * np.exp(-0.5 * (tt / width) ** 2)
     return sig.astype(np.float64)
+
+
+def synth_beat_windows(
+    kind: str,
+    n: int,
+    seed: int,
+    n_channels: int = N_CHANNELS,
+    window: int = 256,
+) -> np.ndarray:
+    """Generate n single-beat windows of class 'N' or 'V', shape (n, C, window).
+
+    Each window holds one centred beat (plus partially-visible neighbours at
+    +-RR) — the beat-window format of the reference's cls_data caches
+    (reference train_cls.py:17-26: {N,V}_{train,test}_data.npy). Neighbours
+    are always normal beats (a PVC is an ectopic beat between sinus beats).
+    """
+    morph = {"N": _PQRST, "V": _PQRST_V}[kind]
+    rng = np.random.default_rng(hash((kind, seed)) % (2**31))
+    t = (np.arange(window) - window // 2) / FS
+    out = np.zeros((n, n_channels, window))
+    for i in range(n):
+        rr = rng.normal(0.8, 0.05)
+        for ch in range(n_channels):
+            ch_scale = rng.uniform(0.7, 1.3)
+            ch_sign = 1.0 if ch == 0 else rng.choice([1.0, 0.6, -0.5])
+            sig = np.zeros(window)
+            for center, waves in ((0.0, morph), (-rr, _PQRST), (rr, _PQRST)):
+                for mu, width, amp in waves:
+                    a = amp * ch_scale * ch_sign * rng.uniform(0.9, 1.1)
+                    sig += a * np.exp(-0.5 * ((t - center - mu) / width) ** 2)
+            out[i, ch] = sig
+    return out.astype(np.float32)
 
 
 def _bandlimited_noise(rng: np.random.Generator, length: int, f_lo: float, f_hi: float) -> np.ndarray:

@@ -45,6 +45,7 @@ def fit(
     output_file: str = "./output.txt",
     checkpoint_every: int = 10,
     resume_path: Optional[str] = None,
+    init_variables: Optional[tuple] = None,
     frozen_mask: Any = None,
     mesh=None,
     log_every: int = 1,
@@ -58,6 +59,10 @@ def fit(
     )
     if resume_path:
         state = load_checkpoint(resume_path, state)
+    if init_variables is not None:
+        # (params, batch_stats) override — the transfer-learning path
+        # grafts a pretrained frozen core into a freshly-initialised model.
+        state = state.replace(params=init_variables[0], batch_stats=init_variables[1])
 
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import shard_batch, replicate_state
