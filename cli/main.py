@@ -42,7 +42,11 @@ def main():
 
         mesh = make_mesh(cfg.n_data, cfg.n_model)
 
-    fit(
+    from ecg_denoise_tpu.utils.run_log import train_log
+
+    # Run-record decoration, the reference's @train_log() equivalent
+    # (reference denoise_train.py:14).
+    train_log()(fit)(
         model, tr_n, tr_c, te_n, te_c,
         epochs=cfg.epochs, batch_size=cfg.batch_size, learning_rate=cfg.lr,
         model_name=cfg.model_name, noise_name=cfg.noise_name,

@@ -59,3 +59,15 @@ def PRD(y: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     num = jnp.sum((y - y_pred) ** 2, axis=-1)
     den = jnp.sum(y**2, axis=-1)
     return 100.0 * jnp.sqrt(num / den)
+
+
+def second_order_difference_loss(x: jnp.ndarray) -> jnp.ndarray:
+    """Smoothness regularizer: mean |x[t+1] - 2 x[t] + x[t-1]| over time.
+
+    Equivalent of the reference's second_order_difference_loss
+    (reference local_utils/local_utils.py:717-732 — defined there but never
+    wired into train()); provided first-class so configs can add it to the
+    MSE objective (weight flag in train/loop.py callers).
+    """
+    d2 = x[..., 2:] - 2.0 * x[..., 1:-1] + x[..., :-2]
+    return jnp.mean(jnp.abs(d2))

@@ -14,6 +14,7 @@ from ecg_denoise_tpu.models.dam import Seq2Seq2, APReLU, DAM
 from ecg_denoise_tpu.models.ralenet import RaleNet
 from ecg_denoise_tpu.models.ralenet_12leads import NewRale
 from ecg_denoise_tpu.models.resnet_cls import ResNetCls, Bottleneck1d
+from ecg_denoise_tpu.models.transformer1d import Transformer1d
 
 MODEL_NAMES = ["unet", "DANet", "ralenet_nra", "ralenet_mlp", "ralenet", "ACDAE"]
 
@@ -52,6 +53,7 @@ __all__ = [
     "NewRale",
     "ResNetCls",
     "Bottleneck1d",
+    "Transformer1d",
     "MODEL_NAMES",
     "build_model",
 ]

@@ -1,0 +1,51 @@
+"""Run logging — the `train_log` decorator equivalent.
+
+The reference wraps `train()` in an external `@train_log()` decorator from
+the unvendored `global_utils` package (reference denoise_train.py:9,14; the
+package also ships `Logger`/`easymail`, imported unused at main.py:14).
+This version records, per run: timestamp, function, kwargs of record
+(model/noise/epochs), wall time, and outcome — appended as one JSON line to
+`train_log.jsonl` so sweeps remain greppable.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from datetime import datetime
+from typing import Callable
+
+
+def train_log(log_file: str = "./train_log.jsonl") -> Callable:
+    def deco(fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            rec = {
+                "ts": datetime.now().isoformat(timespec="seconds"),
+                "fn": fn.__name__,
+                "kwargs": {
+                    k: v
+                    for k, v in kwargs.items()
+                    if isinstance(v, (str, int, float, bool))
+                },
+            }
+            t0 = time.time()
+            try:
+                out = fn(*args, **kwargs)
+                rec["status"] = "ok"
+                return out
+            except Exception as e:  # noqa: BLE001 — log then re-raise
+                rec["status"] = f"error: {type(e).__name__}: {e}"
+                raise
+            finally:
+                rec["wall_s"] = round(time.time() - t0, 2)
+                try:
+                    with open(log_file, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+                except OSError:
+                    pass
+
+        return wrapper
+
+    return deco

@@ -1,0 +1,101 @@
+"""Aux-subsystem tests: streaming iterators, seeding, run log, profiling
+timer, smoothness loss, Transformer1d classifier."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecg_denoise_tpu.data.iterators import (
+    window_batches,
+    arrhythmia_window_batches,
+    norm_snr_window_batches,
+)
+from ecg_denoise_tpu.metrics import SNR, second_order_difference_loss
+from ecg_denoise_tpu.utils.seed import random_seed
+from ecg_denoise_tpu.utils.run_log import train_log
+from ecg_denoise_tpu.utils.profiling import StepTimer
+
+
+def _record(t=256 * 64 + 7, c=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((t, c))
+
+
+def test_window_batches_shapes_and_alignment():
+    clean = _record(seed=1)
+    noisy = clean + 0.1
+    batches = list(window_batches(noisy, clean, batch_size=32))
+    assert len(batches) == 2  # 64 windows of 256 / 32 per batch
+    n, c = batches[0]
+    assert n.shape == c.shape == (32, 2, 256)
+    np.testing.assert_allclose(n - c, 0.1, atol=1e-6)
+
+
+def test_arrhythmia_batches_add_noise():
+    clean = _record(seed=2)
+    noises = {"bw": _record(seed=3), "ma": _record(seed=4)}
+    n, c = next(arrhythmia_window_batches(clean, noises, batch_size=16, seed=0))
+    assert n.shape == (16, 2, 256)
+    assert float(np.mean((n - c) ** 2)) > 1e-3
+
+
+def test_norm_snr_batches_hit_target_snr():
+    clean = _record(t=256 * 32, seed=5)
+    noise = _record(t=256 * 200, seed=6)
+    n, c = next(norm_snr_window_batches(clean, noise, snr_db=0.0, batch_size=32))
+    # Whole-stretch mixing at 0 dB: signal and noise energies match.
+    sig = np.mean(c.astype(np.float64) ** 2)
+    err = np.mean((n - c).astype(np.float64) ** 2)
+    assert abs(10 * np.log10(sig / err)) < 0.2
+    # Stretch is z-normalised per channel.
+    assert abs(float(c.mean())) < 1e-2
+
+
+def test_random_seed_reproducible():
+    key1 = random_seed(123)
+    a1 = np.random.rand(3)
+    key2 = random_seed(123)
+    a2 = np.random.rand(3)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(np.asarray(key1), np.asarray(key2))
+
+
+def test_train_log_records(tmp_path):
+    log = str(tmp_path / "log.jsonl")
+
+    @train_log(log)
+    def work(x=1, tag="t"):
+        return x + 1
+
+    assert work(x=2, tag="hello") == 3
+    rec = json.loads(open(log).read().strip())
+    assert rec["fn"] == "work" and rec["status"] == "ok"
+    assert rec["kwargs"] == {"x": 2, "tag": "hello"}
+
+
+def test_step_timer_discards_warmup():
+    t = StepTimer(warmup=1)
+    for i in range(3):
+        with t.step() as h:
+            h.result = jnp.ones(4) * i
+    assert len(t.times) == 2 and t.mean() > 0
+
+
+def test_second_order_difference_loss():
+    line = jnp.arange(32, dtype=jnp.float32)[None, None, :]
+    assert float(second_order_difference_loss(line)) == pytest.approx(0.0, abs=1e-6)
+    kink = jnp.zeros((1, 1, 32)).at[0, 0, 16].set(1.0)
+    assert float(second_order_difference_loss(kink)) > 0
+
+
+def test_transformer1d_classifier_shape():
+    from ecg_denoise_tpu.models import Transformer1d
+
+    m = Transformer1d(num_class=9, in_channels=32)
+    x = jnp.zeros((2, 32, 64), jnp.float32)
+    v = jax.jit(lambda k, s: m.init(k, s, train=False))(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 9)
