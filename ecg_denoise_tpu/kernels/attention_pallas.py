@@ -46,66 +46,104 @@ def _softmax_f32(logits):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _bmm(a, b, contract, batch=((0,), (0,))):
+    """Batched (over heads) matmul in f32."""
+    return jax.lax.dot_general(
+        a, b, (contract, batch), preferred_element_type=jnp.float32
+    )
+
+
+# VMEM working-set budget in PADDED (G*H, L, L) f32 elements: the lane dim
+# pads to 128 and the sublane dim to 8, so at L=16 the physical buffer is
+# 8x the logical one — budgeting logical elements OOMed the 16 MB scoped
+# vmem on v5e (21 MB at ~2M padded elements). 0.75M padded elements keeps
+# the full per-step working set (logits + probs + softmax temporaries +
+# operand casts) around half the limit.
+_MAX_PADDED = 768 * 1024
+
+
+def _padded_hll(H: int, L: int) -> int:
+    sub = -(-L // 8) * 8
+    lane = max(L, 128)
+    return H * sub * lane
+
+
+def _group_size(B: int, H: int, L: int) -> int:
+    """Largest divisor of B keeping the (G*H, L, L) working set in budget.
+
+    Grouping G batch elements per grid step amortises per-step overheads
+    that dominate at these tiny head sizes (L<=256, D=4): measured on v5e,
+    per-(b,h) grid 7.3k w/s -> per-b 19.3k w/s -> grouped better still.
+    """
+    for g in (64, 32, 16, 8, 4, 2, 1):
+        if B % g == 0 and g * _padded_hll(H, L) <= _MAX_PADDED:
+            return g
+    return 1
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)  # (L, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # q @ k^T: (L, L)
+    # G batch elements x all H heads per grid step, as one batched
+    # (G*H, L, L) contraction. Operands arrive in (G, H, D, L) layout so the
+    # LANE dim is L (no padding at L >= 128) — the natural (..., L, D=4)
+    # layout pads 4 -> 128 lanes, a 32x HBM-traffic blowup. Matmuls keep
+    # native dtype (bf16 hits the MXU fast path) with f32 accumulation;
+    # softmax runs in f32.
+    G, H, D, L = q_ref.shape
+    q = q_ref[:].reshape(G * H, D, L)
+    k = k_ref[:].reshape(G * H, D, L)
+    v = v_ref[:].reshape(G * H, D, L)
+    logits = _bmm(q, k, ((1,), (1,)))  # contract D -> (G*H, L, L) f32
     if bias_ref is not None:
-        logits = logits + bias_ref[0].astype(jnp.float32)
+        bias = bias_ref[:].astype(jnp.float32)  # (H, L, L)
+        logits = (logits.reshape(G, H, L, L) + bias).reshape(G * H, L, L)
     probs = _softmax_f32(logits).astype(v.dtype)
-    o_ref[0, 0] = jnp.dot(
-        probs, v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # out[d, l] = sum_m v[d, m] p[l, m]
+    out = _bmm(v, probs, ((2,), (2,)))  # (G*H, D, L)
+    o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref):
     b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    G, H, D, L = q_ref.shape
+    q = q_ref[:].reshape(G * H, D, L)
+    k = k_ref[:].reshape(G * H, D, L)
+    v = v_ref[:].reshape(G * H, D, L)
+    g = g_ref[:].reshape(G * H, D, L)
+    logits = _bmm(q, k, ((1,), (1,)))
     if bias_ref is not None:
-        logits = logits + bias_ref[0].astype(jnp.float32)
-    p = _softmax_f32(logits)  # (L, L)
+        bias = bias_ref[:].astype(jnp.float32)
+        logits = (logits.reshape(G, H, L, L) + bias).reshape(G * H, L, L)
+    p = _softmax_f32(logits)  # (G*H, L, M) f32
+    pn = p.astype(v.dtype)
 
-    # dv = p^T @ g ; dp = g @ v^T ; ds = p * (dp - rowsum(dp * p))
-    dv = jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    # dv[d,m] = sum_l p[l,m] g[d,l] ; dp[l,m] = sum_d g[d,l] v[d,m]
+    dv = _bmm(g, pn, ((2,), (1,)))         # (G*H, D, M)
+    dp = _bmm(g, v, ((1,), (1,)))          # (G*H, L, M) f32
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dsn = ds.astype(q.dtype)
+    # dq[d,l] = sum_m ds[l,m] k[d,m] ; dk[d,m] = sum_l ds[l,m] q[d,l]
+    dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(dq_ref.dtype)
+    dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, H, D, L).astype(dk_ref.dtype)
+    dv_ref[:] = dv.reshape(G, H, D, L).astype(dv_ref.dtype)
     if dbias_ref is not None:
         # Sequential-grid accumulation over the batch axis.
         @pl.when(b == 0)
         def _():
-            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+            dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
 
-        dbias_ref[0] += ds.astype(dbias_ref.dtype)
+        dbias_ref[:] += jnp.sum(ds.reshape(G, H, L, L), axis=0).astype(
+            dbias_ref.dtype
+        )
 
 
-def _head_spec(L, D):
-    return pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0),
+def _elem_spec(G, H, D, L):
+    return pl.BlockSpec((G, H, D, L), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _bias_spec(L):
-    return pl.BlockSpec((1, L, L), lambda b, h: (h, 0, 0),
+def _bias_spec(H, L):
+    return pl.BlockSpec((H, L, L), lambda b: (0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -115,14 +153,17 @@ def _fwd(q, k, v, bias):
     kernel = _fwd_kernel if has_bias else (
         lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, None, orf)
     )
-    in_specs = [_head_spec(L, D)] * 3 + ([_bias_spec(L)] if has_bias else [])
-    args = (q, k, v) + ((bias.reshape(H, L, L),) if has_bias else ())
-    return pl.pallas_call(
+    G = _group_size(B, H, L)
+    in_specs = [_elem_spec(G, H, D, L)] * 3 + ([_bias_spec(H, L)] if has_bias else [])
+    # (B, H, L, D) -> (B, H, D, L): lane dim becomes L (see _fwd_kernel note).
+    qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (q, k, v))
+    args = (qt, kt, vt) + ((bias.reshape(H, L, L),) if has_bias else ())
+    out = pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B // G,),
         in_specs=in_specs,
-        out_specs=_head_spec(L, D),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        out_specs=_elem_spec(G, H, D, L),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, L), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * L * L * D + L * L),
             bytes_accessed=q.size * 4 * 4,
@@ -130,6 +171,7 @@ def _fwd(q, k, v, bias):
         ),
         interpret=_INTERPRET,
     )(*args)
+    return out.transpose(0, 1, 3, 2)  # back to (B, H, L, D)
 
 
 def _bwd(q, k, v, bias, g):
@@ -140,17 +182,19 @@ def _bwd(q, k, v, bias, g):
             qr, kr, vr, None, gr, dqr, dkr, dvr, None
         )
     )
-    in_specs = [_head_spec(L, D)] * 3 + ([_bias_spec(L)] if has_bias else []) \
-        + [_head_spec(L, D)]
-    args = (q, k, v) + ((bias.reshape(H, L, L),) if has_bias else ()) + (g,)
-    out_specs = [_head_spec(L, D)] * 3
-    out_shape = [jax.ShapeDtypeStruct((B, H, L, D), q.dtype)] * 3
+    G = _group_size(B, H, L)
+    in_specs = [_elem_spec(G, H, D, L)] * 3 \
+        + ([_bias_spec(H, L)] if has_bias else []) + [_elem_spec(G, H, D, L)]
+    qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g))
+    args = (qt, kt, vt) + ((bias.reshape(H, L, L),) if has_bias else ()) + (gt,)
+    out_specs = [_elem_spec(G, H, D, L)] * 3
+    out_shape = [jax.ShapeDtypeStruct((B, H, D, L), q.dtype)] * 3
     if has_bias:
-        out_specs.append(_bias_spec(L))
+        out_specs.append(_bias_spec(H, L))
         out_shape.append(jax.ShapeDtypeStruct((H, L, L), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -163,9 +207,12 @@ def _bwd(q, k, v, bias, g):
     )(*args)
     if has_bias:
         dq, dk, dv, dbias = outs
-        return dq, dk, dv, dbias.reshape(1, H, L, L).astype(bias.dtype)
-    dq, dk, dv = outs
-    return dq, dk, dv, None
+        dbias = dbias.reshape(1, H, L, L).astype(bias.dtype)
+    else:
+        dq, dk, dv = outs
+        dbias = None
+    dq, dk, dv = (a.transpose(0, 1, 3, 2) for a in (dq, dk, dv))
+    return dq, dk, dv, dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
