@@ -90,3 +90,214 @@ def test_unet_forward_parity(torch_unet):
         ref = torch_unet(torch.from_numpy(x)).numpy()
     ours = np.asarray(UNet().apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# RaleNet (the flagship) — full-weight transfer parity.
+# ---------------------------------------------------------------------------
+
+
+def _dense(tmod):  # torch Linear (out, in) -> flax (in, out)
+    p = {"kernel": jnp.asarray(tmod.weight.detach().numpy().T)}
+    if tmod.bias is not None:
+        p["bias"] = _vec(tmod.bias)
+    return p
+
+
+def _ln(tmod):
+    return {"scale": _vec(tmod.weight), "bias": _vec(tmod.bias)}
+
+
+def _block_params(tblock, local_enhence):
+    p = {
+        "norm1": _ln(tblock.norm1),
+        "norm2": _ln(tblock.norm2),
+        "attn": {
+            "qkv_proj": {
+                "to_q": _dense(tblock.attn.qkv_proj.to_q),
+                "to_kv": _dense(tblock.attn.qkv_proj.to_kv),
+            },
+            "proj": _dense(tblock.attn.proj),
+        },
+        "mlp": {
+            "fc1": _dense(tblock.mlp.fc1),
+            "fc2": _dense(tblock.mlp.fc2),
+        },
+    }
+    if local_enhence:
+        p["mlp"]["leconv"] = {
+            "partial_conv3": {
+                "kernel": _conv_w(tblock.mlp.leconv.partial_conv3.weight)
+            }
+        }
+    return p
+
+
+def _basic_layer(tlayer, local_enhence):
+    return {
+        f"blocks_{j}": _block_params(tlayer.blocks[j], local_enhence)
+        for j in range(len(tlayer.blocks))
+    }
+
+
+def _patch_op(tmod):
+    return {"norm": _ln(tmod.norm), "reduction": _dense(tmod.reduction)}
+
+
+@pytest.mark.parametrize("variant,high_enh", [("full", True), ("mlp", False)])
+def test_ralenet_forward_parity(variant, high_enh):
+    """Identical weights -> identical outputs for the R-wave-attention model
+    (reference model/transformer.py ralenet; 'full'=high_level_enhence)."""
+    from model import transformer as ref_mod
+    from ecg_denoise_tpu.models import RaleNet
+
+    torch.manual_seed(0)
+    tm = ref_mod.ralenet(high_level_enhence=high_enh)
+    # The reference's bias tables are zero-init (parameters_normalize is
+    # never called); randomise so the bias path is actually exercised.
+    for n in range(1, 5):
+        getattr(tm, f"rwattn{n}").parameters_normalize()
+    tm.eval()
+
+    # torch attr names, incl. the reference's dtransformer34/utranformer3 typos.
+    enc_names = {
+        1: "dtransformer1", 2: "dtransformer2", 3: "dtransformer3", 4: "dtransformer34",
+    }
+    dec_names = {
+        4: "utransformer4", 3: "utranformer3", 2: "utransformer2", 1: "utransformer1",
+    }
+
+    params = {
+        "conv1_conv": {"kernel": _conv_w(tm.conv1[0].weight), "bias": _vec(tm.conv1[0].bias)},
+        "conv1_bn": {"scale": _vec(tm.conv1[2].weight), "bias": _vec(tm.conv1[2].bias)},
+        "transconv": {"kernel": _conv_w(tm.transconv[0].weight), "bias": _vec(tm.transconv[0].bias)},
+        "transformer": _basic_layer(tm.transformer, high_enh),
+    }
+    stats = {
+        "conv1_bn": {
+            "mean": _vec(tm.conv1[2].running_mean),
+            "var": _vec(tm.conv1[2].running_var),
+        }
+    }
+    for n in range(1, 5):
+        params[f"rwattn{n}"] = {
+            "relative_position_bias_table": _vec(
+                getattr(tm, f"rwattn{n}").relative_position_bias_table
+            )
+        }
+        params[f"dtransformer{n}"] = _basic_layer(getattr(tm, enc_names[n]), high_enh)
+        params[f"utransformer{n}"] = _basic_layer(getattr(tm, dec_names[n]), high_enh)
+        params[f"pm{n}"] = _patch_op(getattr(tm, f"pm{n}"))
+        params[f"ps{n}"] = _patch_op(getattr(tm, f"ps{n}"))
+
+    variables = {"params": params, "batch_stats": stats}
+    x = np.random.default_rng(1).standard_normal((2, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    model = RaleNet(variant=variant)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DANet (Seq2Seq2) and ACDAE.
+# ---------------------------------------------------------------------------
+
+
+def _aprelu(tmod):
+    fcn = tmod.fcn
+    return {
+        "fc1": _dense(fcn[0]), "fc2": _dense(fcn[3]),
+        "bn1": {"scale": _vec(fcn[1].weight), "bias": _vec(fcn[1].bias)},
+        "bn2": {"scale": _vec(fcn[4].weight), "bias": _vec(fcn[4].bias)},
+    }
+
+
+def _aprelu_stats(tmod):
+    fcn = tmod.fcn
+    return {
+        "bn1": {"mean": _vec(fcn[1].running_mean), "var": _vec(fcn[1].running_var)},
+        "bn2": {"mean": _vec(fcn[4].running_mean), "var": _vec(fcn[4].running_var)},
+    }
+
+
+def _dam(tmod):
+    # Reference fcn1/fcn2 are the SAME Sequential (shared weights); map once.
+    fcn = tmod.fcn1
+    params = {
+        "fcn_fc1": _dense(fcn[0]), "fcn_fc2": _dense(fcn[3]),
+        "fcn_bn1": {"scale": _vec(fcn[1].weight), "bias": _vec(fcn[1].bias)},
+        "fcn_bn2": {"scale": _vec(fcn[4].weight), "bias": _vec(fcn[4].bias)},
+        "convsa": {"kernel": _conv_w(tmod.convsa.weight), "bias": _vec(tmod.convsa.bias)},
+    }
+    stats = {
+        "fcn_bn1": {"mean": _vec(fcn[1].running_mean), "var": _vec(fcn[1].running_var)},
+        "fcn_bn2": {"mean": _vec(fcn[4].running_mean), "var": _vec(fcn[4].running_var)},
+    }
+    return params, stats
+
+
+def test_danet_forward_parity():
+    from model.DAM import Seq2Seq2 as TorchSeq2Seq2
+    from ecg_denoise_tpu.models import Seq2Seq2
+
+    torch.manual_seed(0)
+    tm = TorchSeq2Seq2()
+    tm(torch.zeros(2, 2, 256))  # materialise Lazy convs
+    tm.eval()
+
+    params, stats = {}, {}
+    for i, cell in enumerate(tm.enc.EncoderList):
+        params[f"enc{i}"] = {
+            "conv": {"kernel": _conv_w(cell.conv.weight), "bias": _vec(cell.conv.bias)},
+            "aprelu": _aprelu(cell.activate),
+        }
+        _bn(params[f"enc{i}"], stats.setdefault(f"enc{i}", {}), "bn", cell.bn)
+        stats[f"enc{i}"]["aprelu"] = _aprelu_stats(cell.activate)
+    for i, cell in enumerate(tm.dec.DecoderList):
+        params[f"dec{i}"] = {
+            "deconv": {"kernel": _tconv_w(cell.deconv.weight), "bias": _vec(cell.deconv.bias)},
+            "aprelu": _aprelu(cell.activate),
+        }
+        _bn(params[f"dec{i}"], stats.setdefault(f"dec{i}", {}), "bn", cell.bn)
+        stats[f"dec{i}"]["aprelu"] = _aprelu_stats(cell.activate)
+        if not cell.last:
+            dp, ds = _dam(cell.dam)
+            params[f"dec{i}"]["dam"] = dp
+            stats[f"dec{i}"]["dam"] = ds
+
+    variables = {"params": params, "batch_stats": stats}
+    x = np.random.default_rng(2).standard_normal((2, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(Seq2Seq2().apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_acdae_forward_parity():
+    from model.ACDAE import ACDAE as TorchACDAE
+    from ecg_denoise_tpu.models import ACDAE
+
+    torch.manual_seed(0)
+    tm = TorchACDAE()
+    tm.eval()
+
+    params = {}
+    for i, blk in enumerate(tm.EncList):
+        params[f"enc{i}_conv"] = {
+            "kernel": _conv_w(blk.conv.weight), "bias": _vec(blk.conv.bias)
+        }
+    for i, blk in enumerate(tm.DecList):
+        params[f"dec{i}_conv"] = {
+            "kernel": _tconv_w(blk.conv.weight), "bias": _vec(blk.conv.bias)
+        }
+        params[f"dec{i}_eca"] = {
+            "conv": {"kernel": _conv_w(blk.ECA.conv.weight)}
+        }
+
+    variables = {"params": params}
+    x = np.random.default_rng(3).standard_normal((2, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(ACDAE().apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
