@@ -115,6 +115,72 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True)
     return train_epoch, eval_epoch
 
 
+def make_augmented_epoch_fn(model, tx: optax.GradientTransformation,
+                            noise_record, snr_db: float, donate: bool = True):
+    """Train-epoch fn that mixes noise ON DEVICE inside the jitted scan.
+
+    TPU-native extension (no reference counterpart — the reference trains on
+    a fixed pre-mixed cache): the clean windows and the long noise record
+    live in HBM; every epoch each window gets a FRESH random noise slice
+    scaled to the target SNR (data/noise.py::jax_snr_noise_add), fused into
+    the same scan as forward/backward/Adam. Infinite augmentation at zero
+    host cost.
+
+    train_epoch(state, clean, key, batch_size) -> (state, metrics)
+    """
+    from ecg_denoise_tpu.data.noise import jax_snr_noise_add
+
+    noise_record = jnp.asarray(noise_record, jnp.float32)
+
+    def apply_train(params, batch_stats, x):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+
+    def loss_fn(params, batch_stats, data, target):
+        pred, new_stats = apply_train(params, batch_stats, data)
+        loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+        return loss, (pred, new_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(carry, batch):
+        state, key = carry
+        clean = batch
+        key, mix_key = jax.random.split(key)
+        noisy = jax_snr_noise_add(clean, noise_record, snr_db, mix_key)
+        (loss, (pred, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, noisy, clean
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats, opt_state=new_opt, step=state.step + 1,
+        )
+        metrics = (loss, jnp.mean(SNR(clean, pred)), jnp.mean(RMSE(clean, pred)))
+        return (state, key), metrics
+
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
+    def train_epoch(state: TrainState, clean, key, batch_size: int = 32):
+        n = clean.shape[0]
+        n_batches = n // batch_size
+        key, perm_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n)[: n_batches * batch_size]
+        cb = clean[perm].reshape(n_batches, batch_size, *clean.shape[1:])
+        (state, _), (losses, snrs, rmses) = jax.lax.scan(
+            train_step, (state, key), cb
+        )
+        return state, {
+            "loss": jnp.mean(losses),
+            "snr": jnp.mean(snrs),
+            "rmse": jnp.mean(rmses),
+        }
+
+    return train_epoch
+
+
 def make_denoise_fn(model, variables, batch_size: Optional[int] = None):
     """Jitted pure inference fn x -> denoised(x) for eval/serving paths."""
 

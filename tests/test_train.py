@@ -115,3 +115,32 @@ def test_frozen_core_stays_frozen(rng):
         elif not same:
             changed_adapter = True
     assert changed_adapter
+
+
+def test_on_device_augmented_epoch(rng):
+    """On-device SNR-targeted augmentation inside the jitted epoch trains
+    and hits the target SNR distribution (TPU-native extension)."""
+    from ecg_denoise_tpu.train.steps import make_augmented_epoch_fn
+    from ecg_denoise_tpu.data.noise import jax_snr_noise_add
+
+    model = build_model("unet")
+    _, clean = _toy_data(rng, n=64)
+    noise_record = rng.standard_normal((10_000, 2)).astype(np.float32)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(clean[:2]), learning_rate=3e-3
+    )
+    train_epoch = make_augmented_epoch_fn(model, tx, noise_record, snr_db=0.0,
+                                          donate=False)
+    losses = []
+    for i in range(4):
+        state, m = train_epoch(state, jnp.asarray(clean), jax.random.PRNGKey(i), 16)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    # The mixer itself hits the requested SNR per window.
+    noisy = jax_snr_noise_add(jnp.asarray(clean), jnp.asarray(noise_record),
+                              6.0, jax.random.PRNGKey(9))
+    sig = jnp.mean(jnp.asarray(clean) ** 2, axis=(1, 2))
+    err = jnp.mean((noisy - clean) ** 2, axis=(1, 2))
+    snrs = 10 * jnp.log10(sig / err)
+    np.testing.assert_allclose(np.asarray(snrs), 6.0, atol=0.05)
