@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Minimal HTTP denoising service (stdlib-only).
+
+POST /denoise with a raw .npy payload of shape (N, 2, 256) float32 returns
+the denoised .npy. GET /healthz returns model metadata. Batches are bucketed
+to pre-compiled power-of-two sizes (see ecg_denoise_tpu.serving.Denoiser),
+so arbitrary request sizes never recompile.
+
+Example:
+    python cli/serve.py --model ralenet \
+        --ckpt model_save/ralenet/ralenet_99_emb_intensity-4.msgpack &
+    python - <<'PY'
+    import io, urllib.request, numpy as np
+    x = np.random.randn(5, 2, 256).astype(np.float32)
+    buf = io.BytesIO(); np.save(buf, x)
+    r = urllib.request.urlopen(
+        urllib.request.Request('http://127.0.0.1:8787/denoise',
+                               buf.getvalue()), timeout=120)
+    print(np.load(io.BytesIO(r.read())).shape)
+    PY
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="ralenet")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--max_batch", type=int, default=1024)
+    p.add_argument("--warmup_max", type=int, default=0,
+                   help="pre-compile buckets up to this size (0 = lazy)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); must be set "
+                        "before first backend use — env vars are too late "
+                        "in this image (see ARCHITECTURE.md)")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ecg_denoise_tpu.serving import Denoiser
+
+    denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
+                                        max_batch=args.max_batch)
+    if args.warmup_max:
+        denoiser.max_batch = args.warmup_max
+        denoiser.warmup()
+        denoiser.max_batch = args.max_batch
+    meta = {"model": args.model, "ckpt": args.ckpt}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self.send_error(404)
+                return
+            body = json.dumps(meta).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/denoise":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                x = np.load(io.BytesIO(self.rfile.read(n)))
+                y = denoiser(x)
+                buf = io.BytesIO()
+                np.save(buf, y)
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001 — report to client
+                msg = f"{type(e).__name__}: {e}".encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"serving {args.model} on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Inference/serving layer: checkpointed denoisers as jitted callables.
+
+No reference counterpart (its eval is inline in test scripts); built for the
+production-serving goal. Design:
+
+* `Denoiser.from_checkpoint` restores a full TrainState checkpoint and
+  closes over eval-mode apply.
+* Calls are jitted once per padded batch-size bucket (powers of two up to
+  `max_batch`) so arbitrary request sizes never trigger recompiles: a
+  request of 37 windows runs in the 64-bucket with masked tail, still one
+  device dispatch.
+* Input/output are numpy (host) arrays; the device round-trip is one H2D
+  and one D2H per call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ecg_denoise_tpu.models import build_model
+from ecg_denoise_tpu.train.state import create_train_state
+from ecg_denoise_tpu.train.checkpoint import load_checkpoint
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return b
+
+
+class Denoiser:
+    """A servable denoiser: numpy (N, C, L) in -> denoised numpy out."""
+
+    def __init__(self, model, variables, max_batch: int = 1024):
+        self.model = model
+        self.variables = variables
+        self.max_batch = max_batch
+
+        @partial(jax.jit, static_argnums=())
+        def fwd(batch):
+            return model.apply(variables, batch, train=False)
+
+        self._fwd = fwd
+
+    @classmethod
+    def from_checkpoint(cls, name_or_index, ckpt_path: str,
+                        sample_shape=(2, 2, 256), max_batch: int = 1024,
+                        use_pallas: bool = False, dtype=None):
+        model = build_model(name_or_index, use_pallas=use_pallas,
+                            dtype=dtype or jnp.float32)
+        state, _ = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+        )
+        state = load_checkpoint(ckpt_path, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(model, variables, max_batch)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
+        n = x.shape[0]
+        out = np.empty_like(x)
+        i = 0
+        while i < n:
+            chunk = x[i : i + self.max_batch]
+            b = _bucket(chunk.shape[0], self.max_batch)
+            padded = np.zeros((b, *x.shape[1:]), np.float32)
+            padded[: chunk.shape[0]] = chunk
+            y = np.asarray(self._fwd(jnp.asarray(padded)))
+            out[i : i + chunk.shape[0]] = y[: chunk.shape[0]]
+            i += chunk.shape[0]
+        return out[0] if squeeze else out
+
+    def warmup(self, channels: int = 2, length: int = 256) -> None:
+        """Pre-compile every batch bucket (first compile is slow on TPU)."""
+        b = 1
+        while b <= self.max_batch:
+            jax.block_until_ready(
+                self._fwd(jnp.zeros((b, channels, length), jnp.float32))
+            )
+            b *= 2
