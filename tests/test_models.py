@@ -114,3 +114,53 @@ def test_batchnorm_updates_stats(key):
     before = jax.tree.leaves(variables["batch_stats"])
     after = jax.tree.leaves(mut["batch_stats"])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_ralenet_remat_grad():
+    """use_remat=True (jax.checkpoint on blocks) computes identical grads."""
+    import jax, jax.numpy as jnp
+    from ecg_denoise_tpu.models import RaleNet
+
+    x = jnp.ones((2, 2, 256), jnp.float32) * 0.1
+
+    def loss(model):
+        v = jax.jit(lambda k, s: model.init(k, s, train=False))(
+            jax.random.PRNGKey(0), x
+        )
+        g = jax.grad(
+            lambda p: jnp.sum(model.apply({**v, "params": p}, x, train=False) ** 2)
+        )(v["params"])
+        return jax.tree.leaves(g)[0]
+
+    g_plain = loss(RaleNet(variant="nra", use_remat=False))
+    g_remat = loss(RaleNet(variant="nra", use_remat=True))
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_remat), atol=1e-5)
+
+
+def test_ralenet_bfloat16_forward():
+    import jax, jax.numpy as jnp
+    from ecg_denoise_tpu.models import RaleNet
+
+    model = RaleNet(variant="full", dtype=jnp.bfloat16)
+    x = jnp.ones((2, 2, 256), jnp.float32)
+    v = jax.jit(lambda k, s: model.init(k, s, train=False))(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x, train=False)
+    assert out.dtype == jnp.bfloat16 and out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_normalizers():
+    import numpy as np
+    from ecg_denoise_tpu.data.normalize import znorm, minmax_norm
+
+    x = np.random.default_rng(0).standard_normal((4, 2, 256)) * 3 + 1
+    z = znorm(x)
+    np.testing.assert_allclose(z.mean(-1), 0, atol=1e-12)
+    np.testing.assert_allclose(z.std(-1), 1, atol=1e-12)
+    m = minmax_norm(x)
+    assert m.min() >= 0 and m.max() <= 1
+    # Constant rows pass through without NaN.
+    c = np.ones((1, 2, 16))
+    assert np.isfinite(znorm(c)).all() and np.isfinite(minmax_norm(c)).all()
