@@ -301,3 +301,72 @@ def test_acdae_forward_parity():
         ref = tm(torch.from_numpy(x)).numpy()
     ours = np.asarray(ACDAE().apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def _ralenet_params(tm, high_enh):
+    """Shared mapping: reference ralenet module -> our RaleNet param tree."""
+    enc_names = {1: "dtransformer1", 2: "dtransformer2",
+                 3: "dtransformer3", 4: "dtransformer34"}
+    dec_names = {4: "utransformer4", 3: "utranformer3",
+                 2: "utransformer2", 1: "utransformer1"}
+    params = {
+        "conv1_conv": {"kernel": _conv_w(tm.conv1[0].weight), "bias": _vec(tm.conv1[0].bias)},
+        "conv1_bn": {"scale": _vec(tm.conv1[2].weight), "bias": _vec(tm.conv1[2].bias)},
+        "transconv": {"kernel": _conv_w(tm.transconv[0].weight), "bias": _vec(tm.transconv[0].bias)},
+        "transformer": _basic_layer(tm.transformer, high_enh),
+    }
+    stats = {
+        "conv1_bn": {"mean": _vec(tm.conv1[2].running_mean),
+                     "var": _vec(tm.conv1[2].running_var)},
+    }
+    for n in range(1, 5):
+        params[f"rwattn{n}"] = {
+            "relative_position_bias_table": _vec(
+                getattr(tm, f"rwattn{n}").relative_position_bias_table)
+        }
+        params[f"dtransformer{n}"] = _basic_layer(getattr(tm, enc_names[n]), high_enh)
+        params[f"utransformer{n}"] = _basic_layer(getattr(tm, dec_names[n]), high_enh)
+        params[f"pm{n}"] = _patch_op(getattr(tm, f"pm{n}"))
+        params[f"ps{n}"] = _patch_op(getattr(tm, f"ps{n}"))
+    return params, stats
+
+
+def test_newrale_12lead_forward_parity():
+    """12-lead adapter wrapper around a frozen core matches the reference
+    (model/ralenet_12leads.py:676-705) in eval mode.
+
+    The reference file is unimportable as-is: its `if __name__ ==
+    "__main__":` block contains only comments (ralenet_12leads.py:711-717,
+    an IndentationError — the reference's own Transfer_learning.py would
+    crash importing it). Exec a patched copy with a trailing `pass`.
+    """
+    import types as _types
+
+    src = open("/root/reference/model/ralenet_12leads.py").read() + "\n    pass\n"
+    ref12 = _types.ModuleType("ref12")
+    ref12.__dict__["__name__"] = "ref12"
+    exec(compile(src, "ralenet_12leads.py", "exec"), ref12.__dict__)
+    from ecg_denoise_tpu.models import NewRale
+
+    torch.manual_seed(0)
+    core = ref12.ralenet(high_level_enhence=True)
+    for n in range(1, 5):
+        getattr(core, f"rwattn{n}").parameters_normalize()
+    tm = ref12.newrale(core)
+    tm.eval()
+
+    core_params, core_stats = _ralenet_params(core, True)
+    params = {
+        "rale": core_params,
+        "conv1": {"kernel": _conv_w(tm.conv1.weight), "bias": _vec(tm.conv1.bias)},
+        "conv2": {"kernel": _conv_w(tm.conv2.weight), "bias": _vec(tm.conv2.bias)},
+        "conv3": {"kernel": _conv_w(tm.conv3.weight), "bias": _vec(tm.conv3.bias)},
+        "conv4": {"kernel": _conv_w(tm.conv4.weight), "bias": _vec(tm.conv4.bias)},
+    }
+    variables = {"params": params, "batch_stats": {"rale": core_stats}}
+
+    x = np.random.default_rng(4).standard_normal((2, 12, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(NewRale().apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
