@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 @struct.dataclass
@@ -47,7 +46,11 @@ def create_train_state(
     # dispatches (which are minutes-slow over a remote-TPU tunnel).
     variables = jax.jit(lambda r, s: model.init(r, s, train=True))(rng, sample_input)
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # Plain dict (not FrozenDict): a model without BatchNorm returns {} from
+    # apply(mutable=['batch_stats']), and lax.scan requires the carry's
+    # pytree TYPES to match — FrozenDict() in / dict out broke the ACDAE
+    # train scan.
+    batch_stats = variables.get("batch_stats", {})
     tx = optimizer or optax.adam(learning_rate)
     if frozen_mask is not None:
         tx = optax.multi_transform(

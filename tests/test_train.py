@@ -144,3 +144,15 @@ def test_on_device_augmented_epoch(rng):
     err = jnp.mean((noisy - clean) ** 2, axis=(1, 2))
     snrs = 10 * jnp.log10(sig / err)
     np.testing.assert_allclose(np.asarray(snrs), 6.0, atol=0.05)
+
+
+def test_train_epoch_without_batchnorm(rng):
+    """Models with NO BatchNorm (ACDAE) must scan-train: empty batch_stats
+    carry types must match (regression: FrozenDict-in/dict-out broke this)."""
+    model = build_model("ACDAE")
+    noisy, clean = _toy_data(rng, n=32)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), jnp.asarray(noisy[:2]))
+    train_epoch, eval_epoch = make_epoch_fns(model, tx, donate=False)
+    state, m = train_epoch(state, jnp.asarray(noisy), jnp.asarray(clean), jax.random.PRNGKey(0), 16)
+    ev = eval_epoch(state, jnp.asarray(noisy), jnp.asarray(clean), 16)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(ev["snr"]))
