@@ -315,7 +315,11 @@ class RelativePositionEmbedding(nn.Module):
         )
         coords = jnp.arange(W)
         rel = coords[:, None] - coords[None, :] + (W - 1)  # (W, W) in [0, 2W-2]
-        local = table[rel.reshape(-1)].reshape(W, W, H).transpose(2, 0, 1)  # (H, W, W)
+        # jnp.asarray: the gather must run on device even if the param was
+        # restored as a numpy array (checkpoint load path).
+        local = (
+            jnp.asarray(table)[rel.reshape(-1)].reshape(W, W, H).transpose(2, 0, 1)
+        )  # (H, W, W)
         if r_pos is None:
             offset = (L - W) // 2
         else:

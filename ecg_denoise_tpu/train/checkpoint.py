@@ -21,6 +21,7 @@ import re
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 from flax import serialization
 
 
@@ -42,7 +43,11 @@ def save_checkpoint(path: str, state: Any) -> str:
 
 def load_checkpoint(path: str, target: Any) -> Any:
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        restored = serialization.from_bytes(target, f.read())
+    # from_bytes yields NUMPY leaves; convert to device arrays. A numpy
+    # param fancy-indexed by a traced index inside jit calls __array__ on
+    # the tracer and crashes (bit the rel-pos table gather in test_cls).
+    return jax.tree.map(jnp.asarray, restored)
 
 
 def load_params(path: str, target_state: Any):

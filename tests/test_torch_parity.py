@@ -17,6 +17,12 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import os
+
+if not os.path.isdir("/root/reference/model"):
+    pytest.skip("PyTorch reference repo not mounted at /root/reference",
+                allow_module_level=True)
+
 # The reference imports torchvision (unused); stub it before importing.
 _tv = types.ModuleType("torchvision")
 _tv.ops = types.ModuleType("torchvision.ops")
