@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="fused whole-block Pallas inference path")
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -75,9 +77,17 @@ def main() -> None:
         jax.random.PRNGKey(0), x[:2]
     )
 
-    @jax.jit
-    def fwd(batch):
-        return model.apply(variables, batch, train=False)
+    if args.fast:
+        from ecg_denoise_tpu.models.ralenet_fast import apply_fast
+
+        @jax.jit
+        def fwd(batch):
+            return apply_fast(variables, batch, variant="full")
+    else:
+
+        @jax.jit
+        def fwd(batch):
+            return model.apply(variables, batch, train=False)
 
     jax.block_until_ready(fwd(x))  # compile + warmup
     jax.block_until_ready(fwd(x))

@@ -1,0 +1,125 @@
+"""RaleNet fast inference: fused-block Pallas forward over a standard
+variables tree.
+
+`apply_fast(variables, x, variant=...)` reproduces `RaleNet.apply(...,
+train=False)` exactly (parity-tested <= 2e-4) but runs every
+TransformerBlock as ONE fused Pallas kernel (kernels/block_pallas.py);
+the conv stem/head, rel-pos biases and PatchMerging/Separate stay XLA —
+they are single cheap ops. Weight layout is the SAME tree produced by
+RaleNet.init / checkpoints, so any trained checkpoint drops in
+(serving.Denoiser(fast=True), bench.py --fast).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ecg_denoise_tpu.kernels.block_pallas import fused_block
+from ecg_denoise_tpu.ops.attention import sinusoidal_pe_table
+
+_CHANNELS = [2 ** (i + 3) for i in range(5)]
+_HEADS = [2 ** (i + 1) for i in range(5)]
+_LENGTHS = [2 ** (8 - i) for i in range(5)]
+_WINDOWS = [32, 16, 8, 4]
+
+
+def _conv1d(x, p, padding):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], (1,), [(padding, padding)],
+        dimension_numbers=("NCH", "HIO", "NCH"),
+    )
+    return y + p["bias"][None, :, None]
+
+
+def _bn_eval(x, p, s, eps=1e-5):
+    inv = jax.lax.rsqrt(s["var"] + eps) * p["scale"]
+    return (x - s["mean"][None, :, None]) * inv[None, :, None] + p["bias"][None, :, None]
+
+
+def _ln(x, p, eps=1e-5):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
+
+
+def _patch_merge(x, p):
+    x = jnp.concatenate([x[:, 0::2, :], x[:, 1::2, :]], axis=-1)
+    return _ln(x, p["norm"]) @ p["reduction"]["kernel"]
+
+
+def _patch_sep(x, p):
+    half = x.shape[-1] // 2
+    x = jnp.concatenate([x[:, :, :half], x[:, :, half:]], axis=1)
+    return _ln(x, p["norm"]) @ p["reduction"]["kernel"]
+
+
+def _rwbias(p, W, L, H, r_pos=None):
+    table = jnp.asarray(p["relative_position_bias_table"])
+    coords = jnp.arange(W)
+    rel = coords[:, None] - coords[None, :] + (W - 1)
+    local = table[rel.reshape(-1)].reshape(W, W, H).transpose(2, 0, 1)
+    offset = (L - W) // 2 if r_pos is None else r_pos - W // 2
+    full = jnp.zeros((H, L, L), jnp.float32)
+    return jax.lax.dynamic_update_slice(full, local, (0, offset, offset))
+
+
+def _basic_layer(x, p, pe, bias, num_heads, local_enhence):
+    for name in sorted(k for k in p if k.startswith("blocks_")):
+        x = fused_block(x, pe, bias, p[name], num_heads=num_heads,
+                        local_enhence=local_enhence)
+    return x
+
+
+def apply_fast(variables, x, variant: str = "full",
+               r_pos: Optional[jnp.ndarray] = None):
+    """Eval-mode RaleNet forward with fused-block kernels. x: (B, 2, 256)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    local_enhence = variant in ("nra", "full")
+    use_bias = variant in ("mlp", "full")
+
+    h = _conv1d(x, params["conv1_conv"], padding=1)
+    h = jax.nn.leaky_relu(h, negative_slope=0.2)
+    h = _bn_eval(h, params["conv1_bn"], stats["conv1_bn"])
+    stem = h
+
+    attn = [None] * 4
+    if use_bias:
+        for i in range(4):
+            rp = None if r_pos is None else r_pos // (2 ** i)
+            attn[i] = _rwbias(params[f"rwattn{i + 1}"], _WINDOWS[i],
+                              _LENGTHS[i], _HEADS[i], rp)
+
+    pe_full = sinusoidal_pe_table(1000, 1)  # placeholder; per-dim below
+
+    def pe_for(L, C):
+        return sinusoidal_pe_table(1000, C)[0, :L, :]
+
+    h = stem.transpose(0, 2, 1)
+    skips = []
+    for i in range(4):
+        h = _basic_layer(h, params[f"dtransformer{i + 1}"],
+                         pe_for(_LENGTHS[i], _CHANNELS[i]), attn[i],
+                         _HEADS[i], local_enhence)
+        h = _patch_merge(h, params[f"pm{i + 1}"])
+        skips.append(h)
+
+    h = _basic_layer(skips[3], params["transformer"],
+                     pe_for(_LENGTHS[4], _CHANNELS[4]), None,
+                     _HEADS[4], local_enhence) + skips[3]
+
+    dec_masks = [None, attn[3], attn[2], attn[1]]
+    for j, i in enumerate(range(4, 0, -1)):
+        h = _basic_layer(h, params[f"utransformer{i}"],
+                         pe_for(_LENGTHS[i], _CHANNELS[i]), dec_masks[j],
+                         _HEADS[i], local_enhence)
+        h = _patch_sep(h, params[f"ps{i}"])
+        if i > 1:
+            h = h + skips[i - 2]
+
+    h = h.transpose(0, 2, 1) + stem
+    return _conv1d(h, params["transconv"], padding=1)
