@@ -35,23 +35,38 @@ def _bucket(n: int, max_batch: int) -> int:
 
 
 class Denoiser:
-    """A servable denoiser: numpy (N, C, L) in -> denoised numpy out."""
+    """A servable denoiser: numpy (N, C, L) in -> denoised numpy out.
 
-    def __init__(self, model, variables, max_batch: int = 1024):
+    fast='full'|'mlp'|'nra' routes RaleNet checkpoints through the fused
+    whole-block Pallas inference engine (models/ralenet_fast.py).
+    """
+
+    def __init__(self, model, variables, max_batch: int = 1024,
+                 fast: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
 
-        @partial(jax.jit, static_argnums=())
-        def fwd(batch):
-            return model.apply(variables, batch, train=False)
+        if fast is not None:
+            from ecg_denoise_tpu.models.ralenet_fast import apply_fast
+
+            @partial(jax.jit, static_argnums=())
+            def fwd(batch):
+                return apply_fast(variables, batch, variant=fast)
+
+        else:
+
+            @partial(jax.jit, static_argnums=())
+            def fwd(batch):
+                return model.apply(variables, batch, train=False)
 
         self._fwd = fwd
 
     @classmethod
     def from_checkpoint(cls, name_or_index, ckpt_path: str,
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
-                        use_pallas: bool = False, dtype=None):
+                        use_pallas: bool = False, dtype=None,
+                        fast: Optional[str] = None):
         model = build_model(name_or_index, use_pallas=use_pallas,
                             dtype=dtype or jnp.float32)
         state, _ = create_train_state(
@@ -59,7 +74,7 @@ class Denoiser:
         )
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return cls(model, variables, max_batch)
+        return cls(model, variables, max_batch, fast=fast)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.float32)
