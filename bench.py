@@ -67,6 +67,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ecg_denoise_tpu.models import build_model
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_model("ralenet", use_pallas=args.use_pallas, dtype=dtype)

@@ -24,6 +24,9 @@ from ecg_denoise_tpu.train import fit
 
 
 def main():
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_argparser(__doc__).parse_args()
     cfg = config_from_args(args)
     for k, v in vars(args).items():
