@@ -24,6 +24,9 @@ from ecg_denoise_tpu.metrics import SNR, RMSE
 
 
 def main():
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = build_argparser(__doc__)
     p.add_argument("--host", action="store_true", help="numpy reference path")
     p.add_argument("--result_file", type=str, default="./dwt_dn_result.txt")

@@ -33,6 +33,9 @@ import numpy as np
 
 
 def main():
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", type=str, default="ralenet")
     p.add_argument("--ckpt", type=str, required=True)

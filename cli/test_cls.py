@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main():
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cls_ckpt", type=str, default="./model_save/cls_model.msgpack")
     p.add_argument("--model_save_dir", type=str, default="./model_save")

@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main():
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ecg_denoise_tpu.config import build_argparser, config_from_args
 
     p = build_argparser(__doc__)
