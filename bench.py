@@ -83,6 +83,11 @@ def main() -> None:
     if args.fast:
         from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
+        if args.dtype == "bfloat16":
+            import ecg_denoise_tpu.kernels.block_pallas as _bp
+
+            _bp._MM_DTYPE = jnp.bfloat16  # MXU fast-path matmuls in-kernel
+
         @jax.jit
         def fwd(batch):
             return apply_fast(variables, batch, variant="full")

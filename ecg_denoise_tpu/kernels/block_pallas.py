@@ -41,9 +41,35 @@ from ecg_denoise_tpu.kernels.attention_pallas import _group_size, _softmax_f32
 _INTERPRET = False
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7).
+
+    Mosaic implements neither erfc (used by jax.nn.gelu(approximate=False))
+    nor erf, so the polynomial runs on the VPU: t = 1/(1+p|x|), odd
+    extension by sign. gelu error <= ~1e-7*|x| — far inside the 2e-4
+    parity tolerance vs the XLA exact-erf path.
+    """
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact-form (erf) GELU matching jax.nn.gelu(approximate=False)."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+_MM_DTYPE = jnp.float32  # set to bfloat16 for MXU fast-path matmuls
+
+
 def _mm(a, b):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
 
 
@@ -73,23 +99,29 @@ def _block_kernel(x_ref, pe_ref, bias_ref,
     k = kv[:, :C].reshape(G, L, C)
     v = kv[:, C:].reshape(G, L, C)
 
-    # --- heads: (G, L, H, D) -> (G*H, L, D) ---
-    def heads(t):
-        return t.reshape(G, L, H, D).transpose(0, 2, 1, 3).reshape(G * H, L, D)
-
-    qh, kh, vh = heads(q) * (D ** -0.5), heads(k), heads(v)
-    logits = jax.lax.dot_general(
-        qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (G*H, L, L)
-    if bias_ref is not None:
-        logits = (
-            logits.reshape(G, H, L, L) + bias_ref[:].astype(jnp.float32)
-        ).reshape(G * H, L, L)
-    p = _softmax_f32(logits)
-    attn = jax.lax.dot_general(
-        p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (G*H, L, D)
-    attn = attn.reshape(G, H, L, D).transpose(0, 2, 1, 3).reshape(G * L, C)
+    # --- attention: unrolled per-head loop over lane slices. Mosaic's
+    # layout inference rejects the (L, H, D) <-> (H, L, D) reshapes the
+    # batched-heads formulation needs ("unsupported shape cast"); lane
+    # slices q[:, :, hD:(h+1)D] + G-batched matmuls are layout-clean. ---
+    scale = D ** -0.5
+    outs = []
+    for hd in range(H):
+        sl = slice(hd * D, (hd + 1) * D)
+        qh = (q[:, :, sl] * scale).astype(_MM_DTYPE)
+        kh = k[:, :, sl].astype(_MM_DTYPE)
+        vh = v[:, :, sl].astype(_MM_DTYPE)
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, L, L)
+        if bias_ref is not None:
+            logits = logits + bias_ref[hd].astype(jnp.float32)
+        p = _softmax_f32(logits)
+        outs.append(jax.lax.dot_general(
+            p.astype(_MM_DTYPE), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # (G, L, D)
+    attn = jnp.concatenate(outs, axis=-1).reshape(G * L, C)
     attn = _mm(attn, wp_ref[:].astype(jnp.float32)) + bp_ref[:]
     x = x + attn.reshape(G, L, C)  # residual (pre-PE shortcut, :405)
 
@@ -97,7 +129,7 @@ def _block_kernel(x_ref, pe_ref, bias_ref,
     h = _ln(x, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32))
     hid = w1_ref.shape[1]
     f = _mm(h.reshape(G * L, C), w1_ref[:].astype(jnp.float32)) + b1_ref[:]
-    f = jax.nn.gelu(f, approximate=False).reshape(G, L, hid)
+    f = _gelu_exact(f).reshape(G, L, hid)
     if cw_ref is not None:
         # PartialConv with n_div == hidden: ONLY channel 0 is convolved
         # (k=3, pad=1, no bias; reference transformer.py:144) ...
@@ -108,7 +140,7 @@ def _block_kernel(x_ref, pe_ref, bias_ref,
         c0 = cw[0] * left + cw[1] * c0 + cw[2] * right
         f = jnp.concatenate([c0[:, :, None], f[:, :, 1:]], axis=-1)
         # ... then gelu over ALL channels AGAIN (double-gelu quirk, :142-146).
-        f = jax.nn.gelu(f, approximate=False)
+        f = _gelu_exact(f)
     out = _mm(f.reshape(G * L, hid), w2_ref[:].astype(jnp.float32)) + b2_ref[:]
     o_ref[:] = (x + out.reshape(G, L, C)).astype(o_ref.dtype)
 
