@@ -99,30 +99,47 @@ def _block_kernel(x_ref, pe_ref, bias_ref,
     k = kv[:, :C].reshape(G, L, C)
     v = kv[:, C:].reshape(G, L, C)
 
-    # --- attention: unrolled per-head loop over lane slices. Mosaic's
-    # layout inference rejects the (L, H, D) <-> (H, L, D) reshapes the
-    # batched-heads formulation needs ("unsupported shape cast"); lane
-    # slices q[:, :, hD:(h+1)D] + G-batched matmuls are layout-clean. ---
+    # --- attention, all heads in ONE batched contraction. Mosaic's layout
+    # inference rejects the (L, H, D) <-> (H, L, D) reshape ("unsupported
+    # shape cast"), but building (G, H, L, D) by CONCATENATING lane slices
+    # along a new axis is layout-legal — and a (G*H)-batched matmul then
+    # runs the heads together instead of an unrolled serial loop (measured:
+    # loop 32.0k w/s, batched 34k+ on the attention-only kernel). ---
+    # Heads-major batch (index = h*G + g) built from pure 3D ops only:
+    # lane slices + leading-dim concats. Mosaic rejects 4D reshapes
+    # ("unsupported shape cast") and 4D/strided indexing (">2D gather").
     scale = D ** -0.5
-    outs = []
-    for hd in range(H):
-        sl = slice(hd * D, (hd + 1) * D)
-        qh = (q[:, :, sl] * scale).astype(_MM_DTYPE)
-        kh = k[:, :, sl].astype(_MM_DTYPE)
-        vh = v[:, :, sl].astype(_MM_DTYPE)
-        logits = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, L, L)
-        if bias_ref is not None:
-            logits = logits + bias_ref[hd].astype(jnp.float32)
-        p = _softmax_f32(logits)
-        outs.append(jax.lax.dot_general(
-            p.astype(_MM_DTYPE), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ))  # (G, L, D)
-    attn = jnp.concatenate(outs, axis=-1).reshape(G * L, C)
-    attn = _mm(attn, wp_ref[:].astype(jnp.float32)) + bp_ref[:]
+
+    def split_heads(t):
+        return jnp.concatenate(
+            [t[:, :, hd * D:(hd + 1) * D] for hd in range(H)], axis=0
+        )  # (H*G, L, D)
+
+    qh = (split_heads(q) * scale).astype(_MM_DTYPE)
+    kh = split_heads(k).astype(_MM_DTYPE)
+    vh = split_heads(v).astype(_MM_DTYPE)
+    logits = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (H*G, L, L)
+    if bias_ref is not None:
+        bias_f = bias_ref[:].astype(jnp.float32)  # (H, L, L)
+        bias_rows = jnp.concatenate(
+            [
+                jnp.broadcast_to(bias_f[hd:hd + 1], (G, L, L))
+                for hd in range(H)
+            ],
+            axis=0,
+        )  # (H*G, L, L)
+        logits = logits + bias_rows
+    p = _softmax_f32(logits)
+    o = jax.lax.dot_general(
+        p.astype(_MM_DTYPE), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H*G, L, D)
+    attn = jnp.concatenate(
+        [o[hd * G:(hd + 1) * G] for hd in range(H)], axis=-1
+    )  # (G, L, C)
+    attn = _mm(attn.reshape(G * L, C), wp_ref[:].astype(jnp.float32)) + bp_ref[:]
     x = x + attn.reshape(G, L, C)  # residual (pre-PE shortcut, :405)
 
     # --- part 2: LN2 + LeFF MLP (reference :392-395) ---
