@@ -23,6 +23,7 @@ import json
 import time
 
 TORCH_CPU_BASELINE_WPS = 107.0  # reference ralenet fwd, CPU, batch 32 (see docstring)
+TORCH_CPU_TRAIN_BASELINE_WPS = 61.5  # reference ralenet Adam+MSE step, CPU, batch 32
 
 
 def measure_torch_baseline(batch: int = 32, iters: int = 5) -> float:
@@ -64,6 +65,9 @@ def main() -> None:
                          "41.2k w/s vs 37.8k XLA at batch 512 bf16; "
                          "--no-fast for the plain XLA path)")
     ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="measure TRAINING throughput (jitted whole-epoch "
+                         "scan: fwd+bwd+Adam+metrics) instead of inference")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +80,35 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_model("ralenet", use_pallas=args.use_pallas, dtype=dtype)
+
+    if args.train:
+        import numpy as _np
+
+        from ecg_denoise_tpu.train.state import create_train_state
+        from ecg_denoise_tpu.train.steps import make_epoch_fns
+
+        n = 8192
+        rng = _np.random.default_rng(0)
+        noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
+        clean = noisy * 0.5
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
+        train_epoch, _ = make_epoch_fns(model, tx, donate=False)
+        key = jax.random.PRNGKey(1)
+        state, m = train_epoch(state, noisy, clean, key, 32)  # compile
+        jax.block_until_ready(m)
+        t0 = time.time()
+        epochs = 3
+        for i in range(epochs):
+            state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), 32)
+        jax.block_until_ready(m)
+        wps = epochs * (n // 32) * 32 / (time.time() - t0)
+        print(json.dumps({
+            "metric": "ralenet_full_train_throughput",
+            "value": round(wps, 1),
+            "unit": "windows/sec/chip",
+            "vs_baseline": round(wps / TORCH_CPU_TRAIN_BASELINE_WPS, 2),
+        }))
+        return
     x = jnp.ones((args.batch, 2, 256), jnp.float32)
     # jit the init: eager init dispatches hundreds of tiny ops individually
     # (minutes over the axon tunnel); jitted it is one program.
