@@ -55,7 +55,9 @@ def measure_torch_baseline(batch: int = 32, iters: int = 5) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 512 inference / 32 training (the "
+                         "reference's training batch, for a fair baseline)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--use-pallas", action="store_true")
@@ -69,6 +71,12 @@ def main() -> None:
                     help="measure TRAINING throughput (jitted whole-epoch "
                          "scan: fwd+bwd+Adam+metrics) instead of inference")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 32 if args.train else 512
+    if args.use_pallas:
+        # --use-pallas measures the attention-only kernel through the
+        # standard model; the fused whole-block path would shadow it.
+        args.fast = False
 
     import jax
     import jax.numpy as jnp
@@ -88,20 +96,21 @@ def main() -> None:
         from ecg_denoise_tpu.train.steps import make_epoch_fns
 
         n = 8192
+        bs = min(args.batch, n)  # per-step training batch (reference: 32)
         rng = _np.random.default_rng(0)
         noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
         clean = noisy * 0.5
         state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
         train_epoch, _ = make_epoch_fns(model, tx, donate=False)
         key = jax.random.PRNGKey(1)
-        state, m = train_epoch(state, noisy, clean, key, 32)  # compile
+        state, m = train_epoch(state, noisy, clean, key, bs)  # compile
         jax.block_until_ready(m)
         t0 = time.time()
-        epochs = 3
+        epochs = max(args.iters // 5, 1)
         for i in range(epochs):
-            state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), 32)
+            state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), bs)
         jax.block_until_ready(m)
-        wps = epochs * (n // 32) * 32 / (time.time() - t0)
+        wps = epochs * (n // bs) * bs / (time.time() - t0)
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
             "value": round(wps, 1),

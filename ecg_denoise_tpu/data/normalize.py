@@ -1,0 +1,33 @@
+"""Normalization helpers.
+
+Equivalents of the reference's scattered normalizers: `np_norm` /
+`norm_tensor` / `np_normlize` (reference local_utils/local_utils.py:258-266,
+691-692) and the stillborn `Normalizer` class (data_utils.py:9-60, which
+references an undefined eps — implemented correctly here). One definition
+each, numpy or jax in/out preserved by dispatch on the input type.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def znorm(x, axis: int = -1, eps: float = 0.0):
+    """Zero-mean unit-std over `axis` (the reference's np_norm semantics:
+    per-signal standardization; std==0 rows pass through unscaled)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    m = xp.mean(x, axis=axis, keepdims=True)
+    s = xp.std(x, axis=axis, keepdims=True)
+    denom = xp.where(s > eps, s, 1.0) if eps == 0.0 else s + eps
+    return (x - m) / denom
+
+
+def minmax_norm(x, axis: int = -1):
+    """Scale to [0, 1] over `axis` (the reference np_normlize variant)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    lo = xp.min(x, axis=axis, keepdims=True)
+    hi = xp.max(x, axis=axis, keepdims=True)
+    rng = hi - lo
+    rng = xp.where(rng > 0, rng, 1.0)
+    return (x - lo) / rng

@@ -95,7 +95,10 @@ def synth_beat_windows(
     are always normal beats (a PVC is an ectopic beat between sinus beats).
     """
     morph = {"N": _PQRST, "V": _PQRST_V}[kind]
-    rng = np.random.default_rng(hash((kind, seed)) % (2**31))
+    # Deterministic seed derivation: python str hashing is salted per
+    # process, so hash((kind, seed)) would make 'seeded' caches differ
+    # between runs of the same command.
+    rng = np.random.default_rng([seed, *map(ord, kind)])
     t = (np.arange(window) - window // 2) / FS
     out = np.zeros((n, n_channels, window))
     for i in range(n):
@@ -129,7 +132,8 @@ def synth_noise_record(kind: str, seed: int, length: int = RECORD_LEN, n_channel
 
     kind: 'bw' | 'ma' | 'em'. Unit variance per channel.
     """
-    rng = np.random.default_rng(hash((kind, seed)) % (2**31))
+    # Deterministic (unsalted) seed derivation — see synth_beat_windows.
+    rng = np.random.default_rng([seed, *map(ord, kind)])
     out = np.zeros((length, n_channels))
     for ch in range(n_channels):
         if kind == "bw":

@@ -68,7 +68,10 @@ def _rwbias(p, W, L, H, r_pos=None):
 
 
 def _basic_layer(x, p, pe, bias, num_heads, local_enhence):
-    for name in sorted(k for k in p if k.startswith("blocks_")):
+    # Numeric sort: lexicographic would mis-order blocks_10 before blocks_2.
+    names = sorted((k for k in p if k.startswith("blocks_")),
+                   key=lambda k: int(k.split("_")[1]))
+    for name in names:
         x = fused_block(x, pe, bias, p[name], num_heads=num_heads,
                         local_enhence=local_enhence)
     return x
@@ -93,8 +96,6 @@ def apply_fast(variables, x, variant: str = "full",
             rp = None if r_pos is None else r_pos // (2 ** i)
             attn[i] = _rwbias(params[f"rwattn{i + 1}"], _WINDOWS[i],
                               _LENGTHS[i], _HEADS[i], rp)
-
-    pe_full = sinusoidal_pe_table(1000, 1)  # placeholder; per-dim below
 
     def pe_for(L, C):
         return sinusoidal_pe_table(1000, C)[0, :L, :]

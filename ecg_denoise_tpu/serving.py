@@ -47,6 +47,10 @@ class Denoiser:
         self.variables = variables
         self.max_batch = max_batch
 
+        if fast is not None and jax.default_backend() != "tpu":
+            # The fused-block kernels are Mosaic (TPU) programs; fall back
+            # to the standard XLA path on other backends.
+            fast = None
         if fast is not None:
             from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
@@ -94,10 +98,17 @@ class Denoiser:
             i += chunk.shape[0]
         return out[0] if squeeze else out
 
-    def warmup(self, channels: int = 2, length: int = 256) -> None:
-        """Pre-compile every batch bucket (first compile is slow on TPU)."""
+    def warmup(self, channels: int = 2, length: int = 256,
+               limit: Optional[int] = None) -> None:
+        """Pre-compile batch buckets up to `limit` (default: max_batch).
+
+        The limit is rounded UP to the next bucket, so a request of exactly
+        `limit` windows never hits a cold compile.
+        """
+        limit = min(_bucket(limit or self.max_batch, self.max_batch),
+                    self.max_batch)
         b = 1
-        while b <= self.max_batch:
+        while b <= limit:
             jax.block_until_ready(
                 self._fwd(jnp.zeros((b, channels, length), jnp.float32))
             )

@@ -54,15 +54,19 @@ def fit(
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     sample = jnp.asarray(train_noisy[:2])
+    # init_variables=(params, batch_stats) skips re-initialising the model —
+    # the transfer-learning path grafts a pretrained frozen core into an
+    # already-initialised tree (double init is minutes-slow on TPU).
     state, tx = create_train_state(
-        model, init_key, sample, learning_rate=learning_rate, frozen_mask=frozen_mask
+        model, init_key, sample, learning_rate=learning_rate,
+        frozen_mask=frozen_mask,
+        variables=(
+            {"params": init_variables[0], "batch_stats": init_variables[1]}
+            if init_variables is not None else None
+        ),
     )
     if resume_path:
         state = load_checkpoint(resume_path, state)
-    if init_variables is not None:
-        # (params, batch_stats) override — the transfer-learning path
-        # grafts a pretrained frozen core into a freshly-initialised model.
-        state = state.replace(params=init_variables[0], batch_stats=init_variables[1])
 
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import shard_batch, replicate_state

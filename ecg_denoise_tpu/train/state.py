@@ -34,6 +34,7 @@ def create_train_state(
     learning_rate: float = 1e-3,
     optimizer: Optional[optax.GradientTransformation] = None,
     frozen_mask: Any = None,
+    variables: Any = None,
 ):
     """Initialise model variables and optimizer.
 
@@ -42,9 +43,12 @@ def create_train_state(
     get zero updates (the transfer-learning frozen-core path,
     reference: ralenet_12leads.py:694-696).
     """
-    # jitted init: one compiled program instead of hundreds of eager op
-    # dispatches (which are minutes-slow over a remote-TPU tunnel).
-    variables = jax.jit(lambda r, s: model.init(r, s, train=True))(rng, sample_input)
+    if variables is None:
+        # jitted init: one compiled program instead of hundreds of eager op
+        # dispatches (which are minutes-slow over a remote-TPU tunnel).
+        variables = jax.jit(lambda r, s: model.init(r, s, train=True))(
+            rng, sample_input
+        )
     params = variables["params"]
     # Plain dict (not FrozenDict): a model without BatchNorm returns {} from
     # apply(mutable=['batch_stats']), and lax.scan requires the carry's

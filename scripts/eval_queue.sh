@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
 cd /root/repo
+mkdir -p runs
 set -u
 echo "=== test_cls with all denoisers ==="
 python -u cli/test_cls.py > runs/test_cls_full.log 2>&1

@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
 cd /root/repo
+mkdir -p runs
 set -u
 # ralenet across the remaining emb intensities (reference output.txt:7-10 rows)
 for i in 1 2 3 4; do

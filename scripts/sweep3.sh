@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
 cd /root/repo
+mkdir -p runs
 set -u
 # ralenet on bw / ma / em at -4 dB (reference output.txt:2-4 rows)
 for n in 0 1 2; do

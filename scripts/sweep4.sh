@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
 cd /root/repo
+mkdir -p runs
 set -u
 # unet / DANet / ACDAE over remaining emb intensities (reference output.txt:44-58)
 for m in 0 1 5; do

@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # Sequential training queue on the single TPU chip (detached; logs in runs/).
 cd /root/repo
+mkdir -p runs
 set -u
 for spec in "0 3 0" "1 3 0" "2 3 0" "5 3 0"; do
   read -r m n i <<< "$spec"
