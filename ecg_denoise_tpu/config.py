@@ -12,9 +12,7 @@ from __future__ import annotations
 import argparse
 from dataclasses import dataclass, field
 
-NOISE_INTENSITIES = [-4, -2, 0, 2, 4]
-NOISE_TYPES = ["bw", "ma", "em", "emb"]
-MODEL_NAMES = ["unet", "DANet", "ralenet_nra", "ralenet_mlp", "ralenet", "ACDAE"]
+from ecg_denoise_tpu import MODEL_NAMES, NOISE_INTENSITIES, NOISE_TYPES  # single source
 
 
 @dataclass

@@ -30,8 +30,8 @@ from ecg_denoise_tpu.data import synth
 from ecg_denoise_tpu.data.noise import gnoisegen
 from ecg_denoise_tpu.data import wfdb_io
 
-INTENSITY_DIRS = {-4: "m4", -2: "m2", 0: "0", 2: "p2", 4: "p4"}
-NOISE_TYPES = ["bw", "ma", "em", "emb"]
+from ecg_denoise_tpu import NOISE_TYPES  # single source
+from ecg_denoise_tpu.data.dataset import INTENSITY_DIRS
 WINDOW = 256
 STRETCH_WINDOWS = 32  # batch_size in the reference iterator (256*32 stretches)
 

@@ -51,7 +51,13 @@ class EcgDataset:
             for n in noise_name
         ]
         self.data = np.concatenate(data, axis=0)
-        self.ground_data = np.load(os.path.join(path, "ecg.npy"))
+        ground = np.load(os.path.join(path, "ecg.npy"))
+        # Tile the clean windows to stay index-aligned with the k-fold
+        # noisy concatenation (the reference never tiles — its list API is
+        # latently misaligned for len(noise_name) > 1).
+        if len(noise_name) > 1:
+            ground = np.tile(ground, (len(noise_name), 1, 1))
+        self.ground_data = ground
 
     def __len__(self):
         return self.data.shape[0]

@@ -16,7 +16,7 @@ from ecg_denoise_tpu.models.ralenet_12leads import NewRale
 from ecg_denoise_tpu.models.resnet_cls import ResNetCls, Bottleneck1d
 from ecg_denoise_tpu.models.transformer1d import Transformer1d
 
-MODEL_NAMES = ["unet", "DANet", "ralenet_nra", "ralenet_mlp", "ralenet", "ACDAE"]
+from ecg_denoise_tpu import MODEL_NAMES  # single source (package __init__)
 
 
 def build_model(name_or_index, *, use_pallas: bool = False, dtype=None):

@@ -63,8 +63,12 @@ def _rwbias(p, W, L, H, r_pos=None):
     rel = coords[:, None] - coords[None, :] + (W - 1)
     local = table[rel.reshape(-1)].reshape(W, W, H).transpose(2, 0, 1)
     offset = (L - W) // 2 if r_pos is None else r_pos - W // 2
-    full = jnp.zeros((H, L, L), jnp.float32)
-    return jax.lax.dynamic_update_slice(full, local, (0, offset, offset))
+    # Edge TRUNCATION semantics (match ops/attention.py and the reference's
+    # negative F.pad): update into a W-margin buffer, crop.
+    big = jnp.zeros((H, L + 2 * W, L + 2 * W), jnp.float32)
+    off = jnp.clip(jnp.asarray(offset) + W, 0, L + W)
+    big = jax.lax.dynamic_update_slice(big, local, (0, off, off))
+    return big[:, W:W + L, W:W + L]
 
 
 def _basic_layer(x, p, pe, bias, num_heads, local_enhence):

@@ -324,6 +324,13 @@ class RelativePositionEmbedding(nn.Module):
             offset = (L - W) // 2
         else:
             offset = r_pos - W // 2
-        full = jnp.zeros((H, L, L), jnp.float32)
-        full = jax.lax.dynamic_update_slice(full, local, (0, offset, offset))
+        # Reference mask_fill uses F.pad, whose NEGATIVE pads TRUNCATE the
+        # window at the edges (transformer.py:547-558) — a near-edge R peak
+        # keeps only the in-range part of its bias. dynamic_update_slice
+        # would CLAMP instead, shifting the whole window in-bounds. Match
+        # truncation by updating into a W-margin buffer and cropping.
+        big = jnp.zeros((H, L + 2 * W, L + 2 * W), jnp.float32)
+        off = jnp.clip(jnp.asarray(offset) + W, 0, L + W)
+        big = jax.lax.dynamic_update_slice(big, local, (0, off, off))
+        full = big[:, W:W + L, W:W + L]
         return full[None].astype(self.dtype)  # (1, H, L, L)

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ecg_denoise_tpu.utils.init import torch_kernel_init, torch_bias_init
+from ecg_denoise_tpu.utils.init import (
+    torch_kernel_init,
+    torch_bias_init,
+    torch_tconv_kernel_init,
+)
 
 # (B, C, L) convolution dimension numbers.
 _DN = ("NCH", "HIO", "NCH")
@@ -115,7 +119,9 @@ class ConvTranspose1d(nn.Module):
         # torch stores (in_ch, out_ch, k); kept here as HIO (k, in_ch, out_ch)
         # (same tensor, axes permuted — see tests/oracle weight mapping).
         kshape = (k, in_ch, self.features)
-        kernel = self.param("kernel", torch_kernel_init, kshape, jnp.float32)
+        # torch ConvTranspose fan_in is out_ch*k (weight (in, out, k),
+        # fan_in = size(1)*receptive) — NOT the in_ch*k of a regular conv.
+        kernel = self.param("kernel", torch_tconv_kernel_init, kshape, jnp.float32)
         # conv_general_dilated computes correlation; the transpose of a
         # correlation is a convolution -> flip the spatial axis.
         kernel_t = jnp.flip(kernel, axis=0)

@@ -34,3 +34,13 @@ def torch_bias_init(fan_in: int):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+def torch_tconv_kernel_init(key, shape, dtype):
+    """ConvTranspose kernel init: torch stores (in, out, k) and
+    kaiming_uniform's fan_in is size(1)*receptive = OUT_ch * k — not the
+    in_ch*k a regular conv uses. Our HIO shape is (k, in, out), so use
+    shape[-1] (out) * receptive."""
+    receptive = int(np.prod(shape[:-2]))
+    bound = 1.0 / np.sqrt(receptive * shape[-1])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)

@@ -104,3 +104,23 @@ def test_dataset_and_split(small_cache):
     a = load_split_arrays("emb", -4, path=out, n_select=200)
     assert a[0].shape[0] == 160 and a[2].shape[0] == 40
     assert a[0].dtype == np.float32
+
+
+def test_dataset_multi_noise_alignment(tmp_path):
+    """A list of noise names tiles the clean windows to stay index-aligned
+    (the reference's list API is latently misaligned; ours must not be)."""
+    import os
+    from ecg_denoise_tpu.data.dataset import EcgDataset
+
+    d = tmp_path / "dict_data"
+    (d / "m4").mkdir(parents=True)
+    n = 8
+    clean = np.arange(n * 2 * 256, dtype=np.float32).reshape(n, 2, 256)
+    np.save(d / "ecg.npy", clean)
+    np.save(d / "m4" / "bw.npy", clean + 1)
+    np.save(d / "m4" / "ma.npy", clean + 2)
+    ds = EcgDataset(["bw", "ma"], -4, path=str(d))
+    assert len(ds) == 2 * n
+    noisy, ground = ds[n + 3]  # row 3 of the 'ma' block
+    np.testing.assert_array_equal(ground, clean[3])
+    np.testing.assert_array_equal(noisy, clean[3] + 2)

@@ -96,3 +96,16 @@ def test_fft_denoise(rng):
     den = fft_denoise(noisy[None])
     assert den.shape == (1, 256)
     assert np.mean((den[0] - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+
+def test_tpu_dwt_matches_host_path():
+    """The batched conv-pyramid DWT (kernels/dwt_tpu.py) agrees with the
+    bit-faithful numpy path to float32 precision."""
+    import jax.numpy as jnp
+    from ecg_denoise_tpu.kernels.dwt_tpu import wavelet_denoise_tpu
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 2, 256))
+    host = wavelet_denoise(x)
+    tpu = np.asarray(wavelet_denoise_tpu(jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(tpu.reshape(host.shape), host, atol=1e-4)

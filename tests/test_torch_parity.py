@@ -376,3 +376,24 @@ def test_newrale_12lead_forward_parity():
         ref = tm(torch.from_numpy(x)).numpy()
     ours = np.asarray(NewRale().apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_rwbias_edge_truncation_matches_reference():
+    """Near-edge r_pos biases must TRUNCATE (reference mask_fill's negative
+    F.pad, transformer.py:547-558), not clamp the window in-bounds."""
+    import torch as _t
+    from model import transformer as ref_mod
+    from ecg_denoise_tpu.ops.attention import RelativePositionEmbedding
+
+    _t.manual_seed(3)
+    ref = ref_mod.RelativePositionEmbedding(32, 256, 2)
+    ref.parameters_normalize()
+    table = _vec(ref.relative_position_bias_table)
+    mod = RelativePositionEmbedding(length=32, whole_length=256, num_heads=2)
+    variables = {"params": {"relative_position_bias_table": table}}
+    for r_pos in (0, 5, 16, 100, 250, 255):
+        with torch.no_grad():
+            want = ref(R_pos=r_pos).numpy()
+        got = np.asarray(mod.apply(variables, jnp.int32(r_pos)))
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"r_pos={r_pos}")
