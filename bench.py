@@ -128,14 +128,12 @@ def main() -> None:
     if args.fast:
         from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
-        if args.dtype == "bfloat16":
-            import ecg_denoise_tpu.kernels.block_pallas as _bp
-
-            _bp._MM_DTYPE = jnp.bfloat16  # MXU fast-path matmuls in-kernel
+        mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
         @jax.jit
         def fwd(batch):
-            return apply_fast(variables, batch, variant="full")
+            return apply_fast(variables, batch, variant="full",
+                              mm_dtype=mm_dtype)
     else:
 
         @jax.jit

@@ -71,7 +71,8 @@ def main():
                                         max_batch=args.max_batch, fast=fast)
     if args.warmup_max:
         denoiser.warmup(limit=args.warmup_max)
-    meta = {"model": args.model, "ckpt": args.ckpt}
+    meta = {"model": args.model, "ckpt": args.ckpt,
+            "inference_path": denoiser.inference_path}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

@@ -108,6 +108,12 @@ def norm_snr_window_batches(
     t = clean_record.shape[0]
     step = batch_size * window
     max_start = noise_record.shape[0] - step - 1
+    if max_start <= 0:
+        raise ValueError(
+            f"noise record too short: {noise_record.shape[0]} samples < one "
+            f"stretch of batch_size*window+2 = {step + 2} — pass a longer "
+            "record or a smaller batch_size/window"
+        )
     for i in range(0, t - step + 1, step):
         stretch = clean_record[i : i + step].astype(np.float64)
         m = stretch.mean(axis=0, keepdims=True)

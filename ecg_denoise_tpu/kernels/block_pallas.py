@@ -1,9 +1,9 @@
-"""Fused LE-Transformer BLOCK kernel (inference path).
+"""Fused LE-Transformer BLOCK / LAYER kernels (inference path).
 
 The attention-only kernel (attention_pallas.py) still leaves ~8 separate
 XLA ops per TransformerBlock (LN, 3 projection matmuls, softmax chain, MLP
 matmuls, LeFF conv) — at RA-LENet's tiny shapes each is overhead/latency
-bound. This kernel executes the ENTIRE block
+bound. These kernels execute an ENTIRE block
 (reference model/transformer.py:383-411 semantics):
 
     h  = x*sqrt(C) + PE; h = LN1(h)
@@ -14,29 +14,34 @@ bound. This kernel executes the ENTIRE block
      channels again — the reference's double-gelu quirk preserved]
     y  = x + f @ W2
 
-in ONE pallas_call per block: every intermediate lives in VMEM, weights
-(<= 0.7 MB/block) are loaded once per grid step, and the only HBM traffic
-is x in / y out. Grid = (B/G,) with the same padded-VMEM group sizing as
-the attention kernel. Forward-only by design: training keeps the XLA path
-(autodiff), serving/bench use this.
+— and `fused_layer` runs a whole BasicLayer (all of a stage's blocks,
+reference transformer.py:492-506) in ONE pallas_call: every intermediate
+lives in VMEM, the stage's weights and the R-wave bias are VMEM-resident
+across the grid sweep (their BlockSpec index never changes, so Mosaic loads
+them once), and the only per-step HBM traffic is x in / y out. Grid =
+(B/G,) with a block-kernel-specific padded-VMEM working-set estimate
+choosing G (ADVICE round-1: the attention-only budget under-counted the
+qkv/MLP/weight slabs). Forward-only by design: training keeps the XLA path
+(autodiff); serving/bench use this.
 
 Layout notes: projections run as one (G*L, C) x (C, ...) matmul on the MXU;
 the attention inner uses the (G*H, L, L) batched contraction; the LeFF conv
-is two shifted adds (k=3) on a (G, L) slab.
+is two shifted adds (k=3) on a (G, L) slab. Matmul compute dtype is a real
+parameter (`mm_dtype`) — bfloat16 hits the MXU fast path with f32
+accumulation and is the serving/bench default (ADVICE round-1: a module
+global here was mutated by bench.py and never covered by parity tests).
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ecg_denoise_tpu.kernels.attention_pallas import _group_size, _softmax_f32
 
 _INTERPRET = False
 
@@ -63,12 +68,15 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
-_MM_DTYPE = jnp.float32  # set to bfloat16 for MXU fast-path matmuls
+def _softmax_f32(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _mm(a, b):
+def _mm(a, b, mm_dtype):
     return jax.lax.dot_general(
-        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
+        a.astype(mm_dtype), b.astype(mm_dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
 
@@ -79,35 +87,89 @@ def _ln(h, scale, bias, eps=1e-5):
     return (h - m) * jax.lax.rsqrt(v + eps) * scale + bias
 
 
-def _block_kernel(x_ref, pe_ref, bias_ref,
-                  ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
-                  wp_ref, bp_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
-                  cw_ref, w2_ref, b2_ref, o_ref, *, num_heads: int):
-    G, L, C = x_ref.shape
+# --- VMEM working-set sizing --------------------------------------------------
+#
+# Padded-tile accounting (sublane multiples of 8, lane multiples of 128 —
+# budgeting LOGICAL elements OOMed the ~16 MB scoped vmem on v5e). The block
+# kernel's per-G-unit working set, in padded f32 elements:
+#   * (G, L, C)-class slabs: x, h(+ln), attn-out, y     ~ 5 x L*pad(C)
+#   * kv projection slab (G*L, 2C)                      ~ L*pad(2C)
+#   * heads-major q/k/v (+scaled copies) (H*G, L, D)    ~ 4 x H*L*pad(D)
+#   * logits/bias-broadcast/probs (H*G, L, L)           ~ 3 x H*L*pad(L)
+#   * MLP hidden x2 (gelu in/out) (G*L, hid)            ~ 2 x L*pad(hid)
+# Weights/PE/bias are G-independent (VMEM-resident across the sweep) and
+# small (<~1.5 MB/stage); the budget below leaves room for them plus
+# Mosaic's x/y double buffering.
+
+_LANE = 128
+_SUB = 8
+_BUDGET_BYTES = 8 * 1024 * 1024  # of ~16 MB VMEM
+
+
+def _pad_lane(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _pad_sub(n: int) -> int:
+    return -(-n // _SUB) * _SUB
+
+
+def _block_unit_elems(H: int, L: int, C: int, hid: int) -> int:
+    """Padded f32 elements of the per-G-unit block working set (see above)."""
+    D = C // H
+    Ls = _pad_sub(L)
+    return (
+        5 * Ls * _pad_lane(C)
+        + Ls * _pad_lane(2 * C)
+        + 4 * H * Ls * _pad_lane(D)
+        + 3 * H * Ls * _pad_lane(L)
+        + 2 * Ls * _pad_lane(hid)
+    )
+
+
+def block_group_size(B: int, H: int, L: int, C: int, hid: int) -> int:
+    unit = _block_unit_elems(H, L, C, hid) * 4  # f32 bytes
+    g = 1
+    for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if B % cand == 0 and cand * unit <= _BUDGET_BYTES:
+            g = cand
+            break
+    return g
+
+
+# --- kernel math (pure jnp on VMEM-resident arrays) ---------------------------
+
+
+def _block_math(x, pe, bias_f, w, *, num_heads: int, mm_dtype):
+    """One TransformerBlock on a (G, L, C) f32 activation slab.
+
+    w: (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b, w1, b1, cw|None,
+        w2, b2) — all f32 arrays already loaded from VMEM refs.
+    bias_f: (H, L, L) f32 or None.
+    """
+    G, L, C = x.shape
     H = num_heads
     D = C // H
-    x = x_ref[:].astype(jnp.float32)  # (G, L, C)
+    (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp,
+     ln2s, ln2b, w1, b1, cw, w2, b2) = w
 
     # --- part 1: PE inject + LN1 (reference :386-388) ---
-    h = x * math.sqrt(C) + pe_ref[:].astype(jnp.float32)
-    h = _ln(h, ln1s_ref[:].astype(jnp.float32), ln1b_ref[:].astype(jnp.float32))
+    h = x * math.sqrt(C) + pe
+    h = _ln(h, ln1s, ln1b)
 
     # --- qkv projections as (G*L, C) matmuls ---
     h2d = h.reshape(G * L, C)
-    q = (_mm(h2d, wq_ref[:].astype(jnp.float32)) + bq_ref[:]).reshape(G, L, C)
-    kv = _mm(h2d, wkv_ref[:].astype(jnp.float32)) + bkv_ref[:]
+    q = (_mm(h2d, wq, mm_dtype) + bq).reshape(G, L, C)
+    kv = _mm(h2d, wkv, mm_dtype) + bkv
     k = kv[:, :C].reshape(G, L, C)
     v = kv[:, C:].reshape(G, L, C)
 
     # --- attention, all heads in ONE batched contraction. Mosaic's layout
     # inference rejects the (L, H, D) <-> (H, L, D) reshape ("unsupported
-    # shape cast"), but building (G, H, L, D) by CONCATENATING lane slices
-    # along a new axis is layout-legal — and a (G*H)-batched matmul then
-    # runs the heads together instead of an unrolled serial loop (measured:
-    # loop 32.0k w/s, batched 34k+ on the attention-only kernel). ---
-    # Heads-major batch (index = h*G + g) built from pure 3D ops only:
-    # lane slices + leading-dim concats. Mosaic rejects 4D reshapes
-    # ("unsupported shape cast") and 4D/strided indexing (">2D gather").
+    # shape cast"), but building the heads-major batch (index = h*G + g) by
+    # CONCATENATING lane slices along the leading axis is layout-legal — and
+    # a (G*H)-batched matmul runs the heads together instead of an unrolled
+    # serial loop (measured: loop 32.0k w/s, batched 41k+). ---
     scale = D ** -0.5
 
     def split_heads(t):
@@ -115,92 +177,118 @@ def _block_kernel(x_ref, pe_ref, bias_ref,
             [t[:, :, hd * D:(hd + 1) * D] for hd in range(H)], axis=0
         )  # (H*G, L, D)
 
-    qh = (split_heads(q) * scale).astype(_MM_DTYPE)
-    kh = split_heads(k).astype(_MM_DTYPE)
-    vh = split_heads(v).astype(_MM_DTYPE)
+    qh = (split_heads(q) * scale).astype(mm_dtype)
+    kh = split_heads(k).astype(mm_dtype)
+    vh = split_heads(v).astype(mm_dtype)
     logits = jax.lax.dot_general(
         qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (H*G, L, L)
-    if bias_ref is not None:
-        bias_f = bias_ref[:].astype(jnp.float32)  # (H, L, L)
-        bias_rows = jnp.concatenate(
-            [
-                jnp.broadcast_to(bias_f[hd:hd + 1], (G, L, L))
-                for hd in range(H)
-            ],
+    if bias_f is not None:
+        # Add per-head bias on the (G, L, L) slices (broadcast (1, L, L)) —
+        # cheaper than materialising an (H*G, L, L) broadcast copy.
+        logits = jnp.concatenate(
+            [logits[hd * G:(hd + 1) * G] + bias_f[hd:hd + 1] for hd in range(H)],
             axis=0,
-        )  # (H*G, L, L)
-        logits = logits + bias_rows
+        )
     p = _softmax_f32(logits)
     o = jax.lax.dot_general(
-        p.astype(_MM_DTYPE), vh, (((2,), (1,)), ((0,), (0,))),
+        p.astype(mm_dtype), vh, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (H*G, L, D)
     attn = jnp.concatenate(
         [o[hd * G:(hd + 1) * G] for hd in range(H)], axis=-1
     )  # (G, L, C)
-    attn = _mm(attn.reshape(G * L, C), wp_ref[:].astype(jnp.float32)) + bp_ref[:]
+    attn = _mm(attn.reshape(G * L, C), wp, mm_dtype) + bp
     x = x + attn.reshape(G, L, C)  # residual (pre-PE shortcut, :405)
 
     # --- part 2: LN2 + LeFF MLP (reference :392-395) ---
-    h = _ln(x, ln2s_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32))
-    hid = w1_ref.shape[1]
-    f = _mm(h.reshape(G * L, C), w1_ref[:].astype(jnp.float32)) + b1_ref[:]
+    h = _ln(x, ln2s, ln2b)
+    hid = w1.shape[1]
+    f = _mm(h.reshape(G * L, C), w1, mm_dtype) + b1
     f = _gelu_exact(f).reshape(G, L, hid)
-    if cw_ref is not None:
+    if cw is not None:
         # PartialConv with n_div == hidden: ONLY channel 0 is convolved
         # (k=3, pad=1, no bias; reference transformer.py:144) ...
         c0 = f[:, :, 0]  # (G, L)
         left = jnp.pad(c0, ((0, 0), (1, 0)))[:, :L]
         right = jnp.pad(c0, ((0, 0), (0, 1)))[:, 1:]
-        cw = cw_ref[:].astype(jnp.float32)  # (3,)
         c0 = cw[0] * left + cw[1] * c0 + cw[2] * right
         f = jnp.concatenate([c0[:, :, None], f[:, :, 1:]], axis=-1)
         # ... then gelu over ALL channels AGAIN (double-gelu quirk, :142-146).
         f = _gelu_exact(f)
-    out = _mm(f.reshape(G * L, hid), w2_ref[:].astype(jnp.float32)) + b2_ref[:]
-    o_ref[:] = (x + out.reshape(G, L, C)).astype(o_ref.dtype)
+    out = _mm(f.reshape(G * L, hid), w2, mm_dtype) + b2
+    return x + out.reshape(G, L, C)
 
 
-def fused_block(x, pe, bias, params, *, num_heads: int, local_enhence: bool):
-    """Apply one fused TransformerBlock.
+_W_NAMES = 15  # per-block weight slots in _block_math order (cw may be None)
 
-    x: (B, L, C); pe: (L, C) absolute-PE slice; bias: (1|H, L, L) or None;
-    params: the block's flax param subtree (norm1/attn/norm2/mlp).
+
+def _block_weights(params, local_enhence: bool):
+    """Flatten one block's flax param subtree into the _block_math order.
+
+    Returns a list of arrays with None in the cw slot when there is no
+    LeFF conv (the reference's local_enhence=False variants).
     """
-    B, L, C = x.shape
-    G = _group_size(B, num_heads, L)
     attn_p, mlp_p = params["attn"], params["mlp"]
-    has_bias = bias is not None
-    has_conv = local_enhence
-
-    weights = (
+    return [
         params["norm1"]["scale"], params["norm1"]["bias"],
         attn_p["qkv_proj"]["to_q"]["kernel"], attn_p["qkv_proj"]["to_q"]["bias"],
         attn_p["qkv_proj"]["to_kv"]["kernel"], attn_p["qkv_proj"]["to_kv"]["bias"],
         attn_p["proj"]["kernel"], attn_p["proj"]["bias"],
         params["norm2"]["scale"], params["norm2"]["bias"],
         mlp_p["fc1"]["kernel"], mlp_p["fc1"]["bias"],
-    )
-    conv_w = (
-        (mlp_p["leconv"]["partial_conv3"]["kernel"].reshape(3),) if has_conv else ()
-    )
-    weights = weights + conv_w + (mlp_p["fc2"]["kernel"], mlp_p["fc2"]["bias"])
+        (mlp_p["leconv"]["partial_conv3"]["kernel"].reshape(3)
+         if local_enhence else None),
+        mlp_p["fc2"]["kernel"], mlp_p["fc2"]["bias"],
+    ]
 
-    def kernel(x_ref, pe_ref, *refs, o_ref=None):
-        i = 0
-        bias_ref = None
+
+def fused_layer(x, pe, bias, blocks_params: Sequence,
+                *, num_heads: int, local_enhence: bool,
+                mm_dtype=jnp.bfloat16):
+    """Apply a whole BasicLayer (N TransformerBlocks) as ONE pallas_call.
+
+    x: (B, L, C); pe: (L, C) absolute-PE slice; bias: (1|H, L, L) or None;
+    blocks_params: the stage's block param subtrees, in execution order.
+    All blocks' weights + the bias are VMEM-resident for the whole grid
+    sweep (their block index never changes), so HBM traffic is x in / y out
+    once per group — the weights are NOT re-fetched per grid step.
+    """
+    B, L, C = x.shape
+    has_bias = bias is not None
+    n_blocks = len(blocks_params)
+
+    flat_weights = []
+    has_cw = []
+    hid = C
+    for bp in blocks_params:
+        w = _block_weights(bp, local_enhence)
+        hid = max(hid, w[10].shape[1])
+        has_cw.append(w[12] is not None)
+        flat_weights.extend(a for a in w if a is not None)
+
+    G = block_group_size(B, num_heads, L, C, hid)
+
+    def kernel(*refs):
+        o_ref = refs[-1]
+        x_ref, pe_ref = refs[0], refs[1]
+        idx = 2
+        bias_f = None
         if has_bias:
-            bias_ref = refs[0]
-            i = 1
-        wrefs = list(refs[i:])
-        if not has_conv:
-            wrefs.insert(12, None)  # cw_ref slot
-        _block_kernel(x_ref, pe_ref, bias_ref, *wrefs, o_ref=o_ref,
-                      num_heads=num_heads)
-
-    def kernel_entry(*refs):
-        kernel(*refs[:-1], o_ref=refs[-1])
+            bias_f = refs[idx][:].astype(jnp.float32)
+            idx += 1
+        x_val = x_ref[:].astype(jnp.float32)
+        pe_val = pe_ref[:].astype(jnp.float32)
+        for bi in range(n_blocks):
+            n_w = _W_NAMES - (0 if has_cw[bi] else 1)
+            wrefs = list(refs[idx:idx + n_w])
+            idx += n_w
+            w = [r[:].astype(jnp.float32) for r in wrefs]
+            if not has_cw[bi]:
+                w.insert(12, None)
+            x_val = _block_math(x_val, pe_val, bias_f, w,
+                                num_heads=num_heads, mm_dtype=mm_dtype)
+        o_ref[:] = x_val.astype(o_ref.dtype)
 
     x_spec = pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -213,15 +301,22 @@ def fused_block(x, pe, bias, params, *, num_heads: int, local_enhence: bool):
         b3 = bias.reshape(num_heads, L, L)
         in_specs.append(full(b3))
         args.append(b3)
-    for w in weights:
+    for w in flat_weights:
         in_specs.append(full(w))
         args.append(w)
 
     return pl.pallas_call(
-        kernel_entry,
+        kernel,
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
         interpret=_INTERPRET,
     )(*args)
+
+
+def fused_block(x, pe, bias, params, *, num_heads: int, local_enhence: bool,
+                mm_dtype=jnp.bfloat16):
+    """Apply one fused TransformerBlock (single-block fused_layer)."""
+    return fused_layer(x, pe, bias, [params], num_heads=num_heads,
+                       local_enhence=local_enhence, mm_dtype=mm_dtype)

@@ -1,13 +1,15 @@
-"""RaleNet fast inference: fused-block Pallas forward over a standard
+"""RaleNet fast inference: fused-layer Pallas forward over a standard
 variables tree.
 
 `apply_fast(variables, x, variant=...)` reproduces `RaleNet.apply(...,
-train=False)` exactly (parity-tested <= 2e-4) but runs every
-TransformerBlock as ONE fused Pallas kernel (kernels/block_pallas.py);
-the conv stem/head, rel-pos biases and PatchMerging/Separate stay XLA —
-they are single cheap ops. Weight layout is the SAME tree produced by
-RaleNet.init / checkpoints, so any trained checkpoint drops in
-(serving.Denoiser(fast=True), bench.py --fast).
+train=False)` (parity-tested <= 2e-4 with mm_dtype=float32; the default
+mm_dtype=bfloat16 is the MXU fast path with its own looser parity test)
+but runs every BasicLayer — a whole stage's TransformerBlocks — as ONE
+fused Pallas kernel (kernels/block_pallas.py); the conv stem/head, rel-pos
+biases and PatchMerging/Separate stay XLA — they are single cheap ops.
+Weight layout is the SAME tree produced by RaleNet.init / checkpoints, so
+any trained checkpoint drops in (serving.Denoiser(fast=...), bench.py
+--fast).
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ecg_denoise_tpu.kernels.block_pallas import fused_block
+from ecg_denoise_tpu.kernels.block_pallas import fused_layer
 from ecg_denoise_tpu.ops.attention import sinusoidal_pe_table
 
 _CHANNELS = [2 ** (i + 3) for i in range(5)]
@@ -71,19 +73,23 @@ def _rwbias(p, W, L, H, r_pos=None):
     return big[:, W:W + L, W:W + L]
 
 
-def _basic_layer(x, p, pe, bias, num_heads, local_enhence):
+def _basic_layer(x, p, pe, bias, num_heads, local_enhence, mm_dtype):
     # Numeric sort: lexicographic would mis-order blocks_10 before blocks_2.
     names = sorted((k for k in p if k.startswith("blocks_")),
                    key=lambda k: int(k.split("_")[1]))
-    for name in names:
-        x = fused_block(x, pe, bias, p[name], num_heads=num_heads,
-                        local_enhence=local_enhence)
-    return x
+    return fused_layer(x, pe, bias, [p[n] for n in names],
+                       num_heads=num_heads, local_enhence=local_enhence,
+                       mm_dtype=mm_dtype)
 
 
 def apply_fast(variables, x, variant: str = "full",
-               r_pos: Optional[jnp.ndarray] = None):
-    """Eval-mode RaleNet forward with fused-block kernels. x: (B, 2, 256)."""
+               r_pos: Optional[jnp.ndarray] = None,
+               mm_dtype=jnp.bfloat16):
+    """Eval-mode RaleNet forward with fused-layer kernels. x: (B, 2, 256).
+
+    mm_dtype: in-kernel matmul compute dtype (f32 accumulation either way);
+    bfloat16 = the MXU fast path used by serving and the headline bench.
+    """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     local_enhence = variant in ("nra", "full")
@@ -109,19 +115,19 @@ def apply_fast(variables, x, variant: str = "full",
     for i in range(4):
         h = _basic_layer(h, params[f"dtransformer{i + 1}"],
                          pe_for(_LENGTHS[i], _CHANNELS[i]), attn[i],
-                         _HEADS[i], local_enhence)
+                         _HEADS[i], local_enhence, mm_dtype)
         h = _patch_merge(h, params[f"pm{i + 1}"])
         skips.append(h)
 
     h = _basic_layer(skips[3], params["transformer"],
                      pe_for(_LENGTHS[4], _CHANNELS[4]), None,
-                     _HEADS[4], local_enhence) + skips[3]
+                     _HEADS[4], local_enhence, mm_dtype) + skips[3]
 
     dec_masks = [None, attn[3], attn[2], attn[1]]
     for j, i in enumerate(range(4, 0, -1)):
         h = _basic_layer(h, params[f"utransformer{i}"],
                          pe_for(_LENGTHS[i], _CHANNELS[i]), dec_masks[j],
-                         _HEADS[i], local_enhence)
+                         _HEADS[i], local_enhence, mm_dtype)
         h = _patch_sep(h, params[f"ps{i}"])
         if i > 1:
             h = h + skips[i - 2]

@@ -42,23 +42,32 @@ class Denoiser:
     """
 
     def __init__(self, model, variables, max_batch: int = 1024,
-                 fast: Optional[str] = None):
+                 fast: Optional[str] = None, mm_dtype=jnp.bfloat16):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
 
         if fast is not None and jax.default_backend() != "tpu":
-            # The fused-block kernels are Mosaic (TPU) programs; fall back
-            # to the standard XLA path on other backends.
+            # The fused-layer kernels are Mosaic (TPU) programs; fall back
+            # to the standard XLA path on other backends — loudly, so an
+            # operator passing --fast sees which path actually serves.
+            print(f"[serving] fast='{fast}' requested but backend is "
+                  f"'{jax.default_backend()}' — using the standard XLA path")
             fast = None
         if fast is not None:
             from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
+            self.inference_path = (
+                f"pallas-fused:{fast}:mm={jnp.dtype(mm_dtype).name}"
+            )
+
             @partial(jax.jit, static_argnums=())
             def fwd(batch):
-                return apply_fast(variables, batch, variant=fast)
+                return apply_fast(variables, batch, variant=fast,
+                                  mm_dtype=mm_dtype)
 
         else:
+            self.inference_path = f"xla:{jax.default_backend()}"
 
             @partial(jax.jit, static_argnums=())
             def fwd(batch):
@@ -70,7 +79,7 @@ class Denoiser:
     def from_checkpoint(cls, name_or_index, ckpt_path: str,
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
-                        fast: Optional[str] = None):
+                        fast: Optional[str] = None, mm_dtype=jnp.bfloat16):
         model = build_model(name_or_index, use_pallas=use_pallas,
                             dtype=dtype or jnp.float32)
         state, _ = create_train_state(
@@ -78,7 +87,7 @@ class Denoiser:
         )
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return cls(model, variables, max_batch, fast=fast)
+        return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.float32)

@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Reference-invocation shim: `python main.py ...` == `python cli/main.py ...`
-(the reference's entry script of the same name runs unchanged)."""
+(the reference's entry script of the same name runs unchanged). Guarded so
+importing this module (e.g. pytest collection of test_cls.py) is a no-op."""
 import os
 import runpy
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-runpy.run_path(os.path.join(os.path.dirname(os.path.abspath(__file__)), "cli", "main.py"), run_name="__main__")
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "cli", "main.py"),
+        run_name="__main__",
+    )
