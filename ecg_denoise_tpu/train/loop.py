@@ -69,9 +69,18 @@ def fit(
         state = load_checkpoint(resume_path, state)
 
     if mesh is not None:
-        from ecg_denoise_tpu.parallel.mesh import shard_batch, replicate_state
+        from ecg_denoise_tpu.parallel.mesh import (
+            shard_batch,
+            replicate_state,
+            shard_state_dp_tp,
+        )
 
-        state = replicate_state(state, mesh)
+        if int(mesh.shape.get("model", 1)) > 1:
+            # Tensor parallelism: Megatron col/row shardings on the
+            # transformer projections; XLA inserts the per-block psums.
+            state = shard_state_dp_tp(state, mesh)
+        else:
+            state = replicate_state(state, mesh)
         put = lambda a: shard_batch(jnp.asarray(a), mesh)
     else:
         put = lambda a: jax.device_put(jnp.asarray(a))
