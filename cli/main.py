@@ -34,7 +34,7 @@ def main():
 
     tr_n, tr_c, te_n, te_c = load_split_arrays(
         cfg.noise_name, cfg.noise_intensity, path=cfg.data_path,
-        n_select=cfg.n_select, seed=cfg.seed,
+        n_select=cfg.n_select, seed=cfg.seed, split_file=cfg.split_file,
     )
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = build_model(cfg.model_index, use_pallas=cfg.use_pallas, dtype=dtype)

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Trained-model SYSTEM parity vs the running PyTorch reference.
+
+Trains the reference model (reference denoise_train.py:15-103 semantics:
+Adam lr=1e-3 torch defaults, MSE, shuffled batch-32 loader, per-epoch test
+SNR/RMSE means) and our TPU framework on the IDENTICAL data — same dict_data
+cache, same explicit train/test indices (split file), same transferred
+initial weights — and records per-epoch curves so final numbers are directly
+comparable (target <= 0.3 dB; forward-parity alone is covered by
+tests/test_torch_parity.py).
+
+The torch loop here is a parity *harness*, not a port: it reproduces the
+reference training semantics through the reference's own model classes and
+metrics (imported at runtime from /root/reference, like bench.py), with the
+one change that eval runs under no_grad (value-identical; the reference's
+grad-tracking eval at denoise_train.py:66-81 only wastes memory).
+
+Usage (each side writes runs/parity/{model}_{side}.jsonl):
+    python cli/parity_train.py --side torch --model_index 4 --epochs 30
+    python cli/parity_train.py --side jax   --model_index 4 --epochs 30
+    python cli/parity_train.py --side report --model_index 4
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODELS = ["unet", "DANet", "ralenet_nra", "ralenet_mlp", "ralenet", "ACDAE"]
+
+
+def build_args():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--side", choices=["torch", "jax", "report"], required=True)
+    p.add_argument("--model_index", type=int, default=4)
+    p.add_argument("--noise_type_index", type=int, default=3)
+    p.add_argument("--intensity_index", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--n_select", type=int, default=10_000)
+    p.add_argument("--out", type=str, default="runs/parity")
+    return p.parse_args()
+
+
+def load_data(args):
+    from ecg_denoise_tpu import NOISE_TYPES, NOISE_INTENSITIES
+    from ecg_denoise_tpu.data.dataset import load_split_arrays
+
+    noise = NOISE_TYPES[args.noise_type_index]
+    inten = NOISE_INTENSITIES[args.intensity_index]
+    split_file = os.path.join(args.out, "split.json")
+    return load_split_arrays(
+        noise, inten, n_select=args.n_select, seed=args.seed,
+        split_file=split_file,
+    )
+
+
+def init_path(args):
+    return os.path.join(args.out, f"{MODELS[args.model_index]}_init.msgpack")
+
+
+def log_path(args, side):
+    return os.path.join(args.out, f"{MODELS[args.model_index]}_{side}.jsonl")
+
+
+def run_torch(args):
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from flax import serialization
+
+    from ecg_denoise_tpu.interop import torch_weights as tw
+
+    tr_n, tr_c, te_n, te_c = load_data(args)
+    torch.manual_seed(args.seed)  # reference main.py:24 random_seed(2023)
+    tm = tw.build_reference_model(args.model_index)
+
+    # Export the transferred init so the jax side starts from the SAME
+    # weights — isolates optimizer/BN/dynamics from init-draw differences.
+    variables = tw.variables_from_torch_model(args.model_index, tm)
+    os.makedirs(args.out, exist_ok=True)
+    with open(init_path(args), "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+    from local_utils.evaluate import RMSE, SNR  # reference metrics (oracle)
+
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    tr_n_t = torch.from_numpy(tr_n)
+    tr_c_t = torch.from_numpy(tr_c)
+    te_n_t = torch.from_numpy(te_n)
+    te_c_t = torch.from_numpy(te_c)
+    g = torch.Generator().manual_seed(args.seed)
+    bs = args.batch_size
+    logf = open(log_path(args, "torch"), "w")
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        tm.train()
+        perm = torch.randperm(tr_n_t.shape[0], generator=g)
+        losses = []
+        for i in range(0, perm.shape[0], bs):  # drop_last=False, like the ref
+            idx = perm[i : i + bs]
+            opt.zero_grad()
+            pre = tm(tr_n_t[idx])
+            loss = F.mse_loss(pre, tr_c_t[idx])
+            loss.backward()
+            opt.step()
+            losses.append(loss.item())
+        tm.eval()
+        snrs, rmses = [], []
+        with torch.no_grad():
+            for i in range(0, te_n_t.shape[0], bs):
+                pre = tm(te_n_t[i : i + bs])
+                snrs.append(SNR(te_c_t[i : i + bs], pre))
+                rmses.append(RMSE(te_c_t[i : i + bs], pre))
+        rec = {
+            "epoch": epoch + 1,
+            "loss": float(np.mean(losses)),
+            "test_snr": float(torch.cat(snrs).mean()),
+            "test_rmse": float(torch.cat(rmses).mean()),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        logf.write(json.dumps(rec) + "\n")
+        logf.flush()
+        print(rec, flush=True)
+    logf.close()
+
+
+def run_jax(args):
+    from flax import serialization
+
+    from ecg_denoise_tpu import NOISE_TYPES, NOISE_INTENSITIES
+    from ecg_denoise_tpu.models import build_model
+    from ecg_denoise_tpu.train import fit
+    from ecg_denoise_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    tr_n, tr_c, te_n, te_c = load_data(args)
+    with open(init_path(args), "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+    model = build_model(args.model_index)
+    t0 = time.time()
+    _, (train_snr, test_snr, train_rmse, test_rmse) = fit(
+        model, tr_n, tr_c, te_n, te_c,
+        epochs=args.epochs, batch_size=args.batch_size,
+        model_name=MODELS[args.model_index],
+        noise_name=NOISE_TYPES[args.noise_type_index],
+        noise_intensity=NOISE_INTENSITIES[args.intensity_index],
+        seed=args.seed,
+        model_save_dir=os.path.join(args.out, "model_save"),
+        output_file=os.path.join(args.out, "output.txt"),
+        checkpoint_every=1_000_000,
+        init_variables=(variables["params"], variables.get("batch_stats", {})),
+    )
+    with open(log_path(args, "jax"), "w") as f:
+        for e in range(args.epochs):
+            f.write(json.dumps({
+                "epoch": e + 1,
+                "test_snr": test_snr[e],
+                "test_rmse": test_rmse[e],
+                "wall_s": round(time.time() - t0, 1),
+            }) + "\n")
+
+
+def run_report(args):
+    def read(side):
+        with open(log_path(args, side)) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    t, j = read("torch"), read("jax")
+    name = MODELS[args.model_index]
+    print(f"# parity curves — {name} (same cache/split/init weights)")
+    print("epoch | torch SNR | jax SNR | dSNR (dB) | torch RMSE | jax RMSE")
+    for a, b in zip(t, j):
+        print(f"{a['epoch']:5d} | {a['test_snr']:9.3f} | {b['test_snr']:7.3f} "
+              f"| {b['test_snr'] - a['test_snr']:+9.3f} "
+              f"| {a['test_rmse']:10.4f} | {b['test_rmse']:8.4f}")
+    d = j[-1]["test_snr"] - t[-1]["test_snr"]
+    print(f"final: torch {t[-1]['test_snr']:.3f} dB vs jax "
+          f"{j[-1]['test_snr']:.3f} dB -> delta {d:+.3f} dB "
+          f"({'PASS' if abs(d) <= 0.3 else 'FAIL'} at 0.3 dB)")
+
+
+def main():
+    args = build_args()
+    os.makedirs(args.out, exist_ok=True)
+    if args.side == "torch":
+        run_torch(args)
+    elif args.side == "jax":
+        run_jax(args)
+    else:
+        run_report(args)
+
+
+if __name__ == "__main__":
+    main()

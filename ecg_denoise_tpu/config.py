@@ -32,6 +32,7 @@ class TrainConfig:
     dtype: str = "float32"
     n_data: int | None = None  # data-parallel mesh size (None = all devices)
     n_model: int = 1  # tensor-parallel mesh size
+    split_file: str | None = None  # pin/export exact train/test indices
 
     @property
     def noise_name(self) -> str:
@@ -65,6 +66,9 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--n_data", type=int, default=None)
     p.add_argument("--n_model", type=int, default=1)
+    p.add_argument("--split_file", type=str, default=None,
+                   help="JSON {'train': [...], 'test': [...]}; created if "
+                        "absent — pins exact indices for parity runs")
     return p
 
 

@@ -87,19 +87,55 @@ def sample_and_split(
     return sel[perm[:n_train]], sel[perm[n_train:]]
 
 
+def resolve_split(
+    n_total: int,
+    n_select: int = 10_000,
+    seed: int = 2023,
+    split_file: str | None = None,
+):
+    """Train/test indices, optionally pinned to an explicit file.
+
+    `split_file` (JSON {"train": [...], "test": [...]}) makes runs
+    parity-comparable across frameworks despite the reference's
+    unreproducible torch.random_split RNG stream (reference main.py:54-58):
+    if the file exists its indices are used verbatim; otherwise the
+    deterministic sample_and_split result is computed and SAVED there, so
+    the reference side of a parity experiment can consume the exact split.
+    """
+    import json
+
+    if split_file and os.path.exists(split_file):
+        with open(split_file) as f:
+            d = json.load(f)
+        tr, te = np.asarray(d["train"], np.int64), np.asarray(d["test"], np.int64)
+        if tr.size and max(tr.max(), te.max() if te.size else 0) >= n_total:
+            raise ValueError(
+                f"split file {split_file} indexes beyond the dataset "
+                f"({n_total} windows) — built for a different cache?"
+            )
+        return tr, te
+    tr, te = sample_and_split(n_total, n_select, seed=seed)
+    if split_file:
+        os.makedirs(os.path.dirname(os.path.abspath(split_file)), exist_ok=True)
+        with open(split_file, "w") as f:
+            json.dump({"train": tr.tolist(), "test": te.tolist()}, f)
+    return tr, te
+
+
 def load_split_arrays(
     noise_name="bw",
     noise_intensity=0,
     path: str | None = None,
     n_select: int = 10_000,
     seed: int = 2023,
+    split_file: str | None = None,
 ):
     """Return (train_noisy, train_clean, test_noisy, test_clean) float32 arrays.
 
     Shapes: (N_train, 2, 256) etc. Ready for single jax.device_put.
     """
     ds = EcgDataset(noise_name, noise_intensity, path)
-    tr_idx, te_idx = sample_and_split(len(ds), n_select, seed=seed)
+    tr_idx, te_idx = resolve_split(len(ds), n_select, seed=seed, split_file=split_file)
     noisy = ds.data.astype(np.float32)
     clean = ds.ground_data.astype(np.float32)
     return noisy[tr_idx], clean[tr_idx], noisy[te_idx], clean[te_idx]

@@ -2,201 +2,60 @@
 outputs (<= 1e-4) — the oracle behind BASELINE.md's 'SNR parity within 1e-3'.
 
 Loads the reference model from /root/reference (read-only import; torchvision
-is stubbed — it is imported there but unused), copies its randomly-initialised
-state_dict into our flax parameter tree via an explicit layout mapping
-(torch Conv1d (out,in,k) -> flax HIO (k,in,out); ConvTranspose1d (in,out,k)
--> (k,in,out); Linear (out,in) -> (in,out)), and compares eval-mode forward
-passes on the same input.
+is stubbed — it is imported there but unused) and copies its randomly-
+initialised weights into our flax trees via the shared layout mapping in
+ecg_denoise_tpu.interop.torch_weights (also the .pth migration path), then
+compares eval-mode forward passes on the same input.
 """
 
-import sys
-import types
+import os
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-import os
-
 if not os.path.isdir("/root/reference/model"):
     pytest.skip("PyTorch reference repo not mounted at /root/reference",
                 allow_module_level=True)
 
-# The reference imports torchvision (unused); stub it before importing.
-_tv = types.ModuleType("torchvision")
-_tv.ops = types.ModuleType("torchvision.ops")
-sys.modules.setdefault("torchvision", _tv)
-sys.modules.setdefault("torchvision.ops", _tv.ops)
-if "/root/reference" not in sys.path:
-    sys.path.insert(0, "/root/reference")
-
-import jax
 import jax.numpy as jnp
 
+from ecg_denoise_tpu.interop import torch_weights as tw
 
-def _conv_w(t):  # torch Conv1d (out, in, k) -> HIO (k, in, out)
-    return jnp.asarray(t.detach().numpy().transpose(2, 1, 0))
-
-
-def _tconv_w(t):  # torch ConvTranspose1d (in, out, k) -> (k, in, out)
-    return jnp.asarray(t.detach().numpy().transpose(2, 0, 1))
+tw.load_reference_path()
 
 
-def _vec(t):
-    return jnp.asarray(t.detach().numpy())
-
-
-def _bn(params, stats, prefix, tmod):
-    params[prefix] = {"scale": _vec(tmod.weight), "bias": _vec(tmod.bias)}
-    stats[prefix] = {"mean": _vec(tmod.running_mean), "var": _vec(tmod.running_var)}
-
-
-@pytest.fixture(scope="module")
-def torch_unet():
-    from model.UNet import UNet as TorchUNet
-
-    torch.manual_seed(0)
-    m = TorchUNet()
-    m(torch.zeros(2, 2, 256))  # materialise Lazy BN modules
-    m.eval()
-    return m
-
-
-def test_unet_forward_parity(torch_unet):
+def test_unet_forward_parity():
     from ecg_denoise_tpu.models import UNet
 
-    params, stats = {}, {}
-    for i in range(4):
-        enc = torch_unet.EncList[i]
-        params[f"enc{i}"] = {
-            "conv": {"kernel": _conv_w(enc.conv.weight), "bias": _vec(enc.conv.bias)}
-        }
-        _bn(params[f"enc{i}"], stats.setdefault(f"enc{i}", {}), "bn", enc.bn)
-        dec = torch_unet.DecList[i]
-        params[f"dec{i}"] = {
-            "conv": {"kernel": _tconv_w(dec.conv.weight), "bias": _vec(dec.conv.bias)}
-        }
-        _bn(params[f"dec{i}"], stats.setdefault(f"dec{i}", {}), "bn", dec.bn)
-    bn_map = {0: "bottleneck_conv0", 3: "bottleneck_conv1", 6: "bottleneck_conv2"}
-    for idx, name in bn_map.items():
-        c = torch_unet.bottleneck[idx]
-        params[name] = {"kernel": _conv_w(c.weight), "bias": _vec(c.bias)}
-    for idx, name in {2: "bottleneck_bn0", 5: "bottleneck_bn1"}.items():
-        _bn(params, stats, name, torch_unet.bottleneck[idx])
-
-    # Fix nesting: BN stats for enc/dec live under the block subtree.
-    batch_stats = {}
-    for k, v in stats.items():
-        batch_stats[k] = v
-    variables = {"params": params, "batch_stats": batch_stats}
+    torch.manual_seed(0)
+    tm = tw.build_reference_model(0)
+    tm.eval()
+    variables = tw.unet_variables(tm)
 
     x = np.random.default_rng(0).standard_normal((4, 2, 256)).astype(np.float32)
     with torch.no_grad():
-        ref = torch_unet(torch.from_numpy(x)).numpy()
+        ref = tm(torch.from_numpy(x)).numpy()
     ours = np.asarray(UNet().apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
 
-# ---------------------------------------------------------------------------
-# RaleNet (the flagship) — full-weight transfer parity.
-# ---------------------------------------------------------------------------
-
-
-def _dense(tmod):  # torch Linear (out, in) -> flax (in, out)
-    p = {"kernel": jnp.asarray(tmod.weight.detach().numpy().T)}
-    if tmod.bias is not None:
-        p["bias"] = _vec(tmod.bias)
-    return p
-
-
-def _ln(tmod):
-    return {"scale": _vec(tmod.weight), "bias": _vec(tmod.bias)}
-
-
-def _block_params(tblock, local_enhence):
-    p = {
-        "norm1": _ln(tblock.norm1),
-        "norm2": _ln(tblock.norm2),
-        "attn": {
-            "qkv_proj": {
-                "to_q": _dense(tblock.attn.qkv_proj.to_q),
-                "to_kv": _dense(tblock.attn.qkv_proj.to_kv),
-            },
-            "proj": _dense(tblock.attn.proj),
-        },
-        "mlp": {
-            "fc1": _dense(tblock.mlp.fc1),
-            "fc2": _dense(tblock.mlp.fc2),
-        },
-    }
-    if local_enhence:
-        p["mlp"]["leconv"] = {
-            "partial_conv3": {
-                "kernel": _conv_w(tblock.mlp.leconv.partial_conv3.weight)
-            }
-        }
-    return p
-
-
-def _basic_layer(tlayer, local_enhence):
-    return {
-        f"blocks_{j}": _block_params(tlayer.blocks[j], local_enhence)
-        for j in range(len(tlayer.blocks))
-    }
-
-
-def _patch_op(tmod):
-    return {"norm": _ln(tmod.norm), "reduction": _dense(tmod.reduction)}
-
-
-@pytest.mark.parametrize("variant,high_enh", [("full", True), ("mlp", False)])
-def test_ralenet_forward_parity(variant, high_enh):
+@pytest.mark.parametrize("variant,model_index", [("full", 4), ("mlp", 3)])
+def test_ralenet_forward_parity(variant, model_index):
     """Identical weights -> identical outputs for the R-wave-attention model
     (reference model/transformer.py ralenet; 'full'=high_level_enhence)."""
-    from model import transformer as ref_mod
     from ecg_denoise_tpu.models import RaleNet
 
     torch.manual_seed(0)
-    tm = ref_mod.ralenet(high_level_enhence=high_enh)
+    tm = tw.build_reference_model(model_index)
     # The reference's bias tables are zero-init (parameters_normalize is
     # never called); randomise so the bias path is actually exercised.
     for n in range(1, 5):
         getattr(tm, f"rwattn{n}").parameters_normalize()
     tm.eval()
+    variables = tw.variables_from_torch_model(model_index, tm)
 
-    # torch attr names, incl. the reference's dtransformer34/utranformer3 typos.
-    enc_names = {
-        1: "dtransformer1", 2: "dtransformer2", 3: "dtransformer3", 4: "dtransformer34",
-    }
-    dec_names = {
-        4: "utransformer4", 3: "utranformer3", 2: "utransformer2", 1: "utransformer1",
-    }
-
-    params = {
-        "conv1_conv": {"kernel": _conv_w(tm.conv1[0].weight), "bias": _vec(tm.conv1[0].bias)},
-        "conv1_bn": {"scale": _vec(tm.conv1[2].weight), "bias": _vec(tm.conv1[2].bias)},
-        "transconv": {"kernel": _conv_w(tm.transconv[0].weight), "bias": _vec(tm.transconv[0].bias)},
-        "transformer": _basic_layer(tm.transformer, high_enh),
-    }
-    stats = {
-        "conv1_bn": {
-            "mean": _vec(tm.conv1[2].running_mean),
-            "var": _vec(tm.conv1[2].running_var),
-        }
-    }
-    for n in range(1, 5):
-        params[f"rwattn{n}"] = {
-            "relative_position_bias_table": _vec(
-                getattr(tm, f"rwattn{n}").relative_position_bias_table
-            )
-        }
-        params[f"dtransformer{n}"] = _basic_layer(getattr(tm, enc_names[n]), high_enh)
-        params[f"utransformer{n}"] = _basic_layer(getattr(tm, dec_names[n]), high_enh)
-        params[f"pm{n}"] = _patch_op(getattr(tm, f"pm{n}"))
-        params[f"ps{n}"] = _patch_op(getattr(tm, f"ps{n}"))
-
-    variables = {"params": params, "batch_stats": stats}
     x = np.random.default_rng(1).standard_normal((2, 2, 256)).astype(np.float32)
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
@@ -205,74 +64,14 @@ def test_ralenet_forward_parity(variant, high_enh):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
 
-# ---------------------------------------------------------------------------
-# DANet (Seq2Seq2) and ACDAE.
-# ---------------------------------------------------------------------------
-
-
-def _aprelu(tmod):
-    fcn = tmod.fcn
-    return {
-        "fc1": _dense(fcn[0]), "fc2": _dense(fcn[3]),
-        "bn1": {"scale": _vec(fcn[1].weight), "bias": _vec(fcn[1].bias)},
-        "bn2": {"scale": _vec(fcn[4].weight), "bias": _vec(fcn[4].bias)},
-    }
-
-
-def _aprelu_stats(tmod):
-    fcn = tmod.fcn
-    return {
-        "bn1": {"mean": _vec(fcn[1].running_mean), "var": _vec(fcn[1].running_var)},
-        "bn2": {"mean": _vec(fcn[4].running_mean), "var": _vec(fcn[4].running_var)},
-    }
-
-
-def _dam(tmod):
-    # Reference fcn1/fcn2 are the SAME Sequential (shared weights); map once.
-    fcn = tmod.fcn1
-    params = {
-        "fcn_fc1": _dense(fcn[0]), "fcn_fc2": _dense(fcn[3]),
-        "fcn_bn1": {"scale": _vec(fcn[1].weight), "bias": _vec(fcn[1].bias)},
-        "fcn_bn2": {"scale": _vec(fcn[4].weight), "bias": _vec(fcn[4].bias)},
-        "convsa": {"kernel": _conv_w(tmod.convsa.weight), "bias": _vec(tmod.convsa.bias)},
-    }
-    stats = {
-        "fcn_bn1": {"mean": _vec(fcn[1].running_mean), "var": _vec(fcn[1].running_var)},
-        "fcn_bn2": {"mean": _vec(fcn[4].running_mean), "var": _vec(fcn[4].running_var)},
-    }
-    return params, stats
-
-
 def test_danet_forward_parity():
-    from model.DAM import Seq2Seq2 as TorchSeq2Seq2
     from ecg_denoise_tpu.models import Seq2Seq2
 
     torch.manual_seed(0)
-    tm = TorchSeq2Seq2()
-    tm(torch.zeros(2, 2, 256))  # materialise Lazy convs
+    tm = tw.build_reference_model(1)
     tm.eval()
+    variables = tw.seq2seq2_variables(tm)
 
-    params, stats = {}, {}
-    for i, cell in enumerate(tm.enc.EncoderList):
-        params[f"enc{i}"] = {
-            "conv": {"kernel": _conv_w(cell.conv.weight), "bias": _vec(cell.conv.bias)},
-            "aprelu": _aprelu(cell.activate),
-        }
-        _bn(params[f"enc{i}"], stats.setdefault(f"enc{i}", {}), "bn", cell.bn)
-        stats[f"enc{i}"]["aprelu"] = _aprelu_stats(cell.activate)
-    for i, cell in enumerate(tm.dec.DecoderList):
-        params[f"dec{i}"] = {
-            "deconv": {"kernel": _tconv_w(cell.deconv.weight), "bias": _vec(cell.deconv.bias)},
-            "aprelu": _aprelu(cell.activate),
-        }
-        _bn(params[f"dec{i}"], stats.setdefault(f"dec{i}", {}), "bn", cell.bn)
-        stats[f"dec{i}"]["aprelu"] = _aprelu_stats(cell.activate)
-        if not cell.last:
-            dp, ds = _dam(cell.dam)
-            params[f"dec{i}"]["dam"] = dp
-            stats[f"dec{i}"]["dam"] = ds
-
-    variables = {"params": params, "batch_stats": stats}
     x = np.random.default_rng(2).standard_normal((2, 2, 256)).astype(np.float32)
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
@@ -281,27 +80,13 @@ def test_danet_forward_parity():
 
 
 def test_acdae_forward_parity():
-    from model.ACDAE import ACDAE as TorchACDAE
     from ecg_denoise_tpu.models import ACDAE
 
     torch.manual_seed(0)
-    tm = TorchACDAE()
+    tm = tw.build_reference_model(5)
     tm.eval()
+    variables = tw.acdae_variables(tm)
 
-    params = {}
-    for i, blk in enumerate(tm.EncList):
-        params[f"enc{i}_conv"] = {
-            "kernel": _conv_w(blk.conv.weight), "bias": _vec(blk.conv.bias)
-        }
-    for i, blk in enumerate(tm.DecList):
-        params[f"dec{i}_conv"] = {
-            "kernel": _tconv_w(blk.conv.weight), "bias": _vec(blk.conv.bias)
-        }
-        params[f"dec{i}_eca"] = {
-            "conv": {"kernel": _conv_w(blk.ECA.conv.weight)}
-        }
-
-    variables = {"params": params}
     x = np.random.default_rng(3).standard_normal((2, 2, 256)).astype(np.float32)
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
@@ -309,32 +94,24 @@ def test_acdae_forward_parity():
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
 
-def _ralenet_params(tm, high_enh):
-    """Shared mapping: reference ralenet module -> our RaleNet param tree."""
-    enc_names = {1: "dtransformer1", 2: "dtransformer2",
-                 3: "dtransformer3", 4: "dtransformer34"}
-    dec_names = {4: "utransformer4", 3: "utranformer3",
-                 2: "utransformer2", 1: "utransformer1"}
-    params = {
-        "conv1_conv": {"kernel": _conv_w(tm.conv1[0].weight), "bias": _vec(tm.conv1[0].bias)},
-        "conv1_bn": {"scale": _vec(tm.conv1[2].weight), "bias": _vec(tm.conv1[2].bias)},
-        "transconv": {"kernel": _conv_w(tm.transconv[0].weight), "bias": _vec(tm.transconv[0].bias)},
-        "transformer": _basic_layer(tm.transformer, high_enh),
-    }
-    stats = {
-        "conv1_bn": {"mean": _vec(tm.conv1[2].running_mean),
-                     "var": _vec(tm.conv1[2].running_var)},
-    }
-    for n in range(1, 5):
-        params[f"rwattn{n}"] = {
-            "relative_position_bias_table": _vec(
-                getattr(tm, f"rwattn{n}").relative_position_bias_table)
-        }
-        params[f"dtransformer{n}"] = _basic_layer(getattr(tm, enc_names[n]), high_enh)
-        params[f"utransformer{n}"] = _basic_layer(getattr(tm, dec_names[n]), high_enh)
-        params[f"pm{n}"] = _patch_op(getattr(tm, f"pm{n}"))
-        params[f"ps{n}"] = _patch_op(getattr(tm, f"ps{n}"))
-    return params, stats
+def test_pth_state_dict_import_roundtrip(tmp_path):
+    """The .pth migration path (interop.variables_from_state_dict) restores a
+    saved reference checkpoint into our tree with forward parity — the
+    contract a reference user migrating trained checkpoints relies on."""
+    from ecg_denoise_tpu.models import UNet
+
+    torch.manual_seed(7)
+    tm = tw.build_reference_model(0)
+    tm.eval()
+    path = tmp_path / "unet_9_bw_intensity-4.pth"
+    torch.save(tm.state_dict(), path)
+
+    variables = tw.variables_from_state_dict(0, torch.load(path))
+    x = np.random.default_rng(9).standard_normal((4, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(UNet().apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
 
 def test_newrale_12lead_forward_parity():
@@ -360,16 +137,7 @@ def test_newrale_12lead_forward_parity():
         getattr(core, f"rwattn{n}").parameters_normalize()
     tm = ref12.newrale(core)
     tm.eval()
-
-    core_params, core_stats = _ralenet_params(core, True)
-    params = {
-        "rale": core_params,
-        "conv1": {"kernel": _conv_w(tm.conv1.weight), "bias": _vec(tm.conv1.bias)},
-        "conv2": {"kernel": _conv_w(tm.conv2.weight), "bias": _vec(tm.conv2.bias)},
-        "conv3": {"kernel": _conv_w(tm.conv3.weight), "bias": _vec(tm.conv3.bias)},
-        "conv4": {"kernel": _conv_w(tm.conv4.weight), "bias": _vec(tm.conv4.bias)},
-    }
-    variables = {"params": params, "batch_stats": {"rale": core_stats}}
+    variables = tw.newrale_variables(tm)
 
     x = np.random.default_rng(4).standard_normal((2, 12, 256)).astype(np.float32)
     with torch.no_grad():
@@ -388,7 +156,7 @@ def test_rwbias_edge_truncation_matches_reference():
     _t.manual_seed(3)
     ref = ref_mod.RelativePositionEmbedding(32, 256, 2)
     ref.parameters_normalize()
-    table = _vec(ref.relative_position_bias_table)
+    table = tw.vec(ref.relative_position_bias_table)
     mod = RelativePositionEmbedding(length=32, whole_length=256, num_heads=2)
     variables = {"params": {"relative_position_bias_table": table}}
     for r_pos in (0, 5, 16, 100, 250, 255):
