@@ -39,7 +39,7 @@ def main():
         from ecg_denoise_tpu.data.cls_cache import build_cls_data
 
         out = args.out or "./data/cls_data"
-        info = build_cls_data(out, seed=args.seed)
+        info = build_cls_data(out, seed=args.seed, data_root=args.data_root)
         print(f"built cls_data in {info['out_dir']}: "
               + ", ".join(f"{k}={v}" for k, v in info.items() if k != "out_dir"))
         return

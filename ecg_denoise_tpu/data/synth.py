@@ -80,6 +80,54 @@ def synth_ecg_record(seed: int, length: int = RECORD_LEN, n_channels: int = N_CH
     return sig.astype(np.float64)
 
 
+def synth_ecg_record_annotated(
+    seed: int,
+    length: int = RECORD_LEN,
+    n_channels: int = N_CHANNELS,
+    pvc_prob: float = 0.3,
+):
+    """Synthetic record with PVC (V) beats interspersed among sinus beats.
+
+    Returns (sig (length, C) float64, beat_samples (n,) int64, labels (n,)
+    int32 with 0 = N, 1 = V) — the synthetic stand-in for a MIT-BIH record
+    plus its .atr beat annotations (reference train_cls.py:17-37 builds the
+    N/V beat caches from those annotations). Kept separate from
+    `synth_ecg_record` so that function's RNG stream — which the committed
+    dict_data caches reproduce — stays byte-stable.
+    """
+    rng = np.random.default_rng([seed, 7])
+    t_end = (length - 1) / FS
+    beat_times, labels = [], []
+    tcur = rng.uniform(0.2, 0.8)
+    while tcur < t_end + 1.0:
+        is_v = rng.uniform() < pvc_prob
+        beat_times.append(tcur)
+        labels.append(1 if is_v else 0)
+        # PVCs come early (ectopic) and are followed by a compensatory pause.
+        tcur += rng.normal(1.0, 0.06) if is_v else rng.normal(0.8, 0.05)
+    beat_times = np.asarray(beat_times)
+    labels = np.asarray(labels, np.int32)
+
+    sig = np.zeros((length, n_channels))
+    for ch in range(n_channels):
+        ch_scale = rng.uniform(0.7, 1.3)
+        ch_sign = 1.0 if ch == 0 else rng.choice([1.0, 0.6, -0.5])
+        for bt, lab in zip(beat_times, labels):
+            morph = _PQRST_V if lab else _PQRST
+            for mu, width, amp in morph:
+                a = amp * ch_scale * ch_sign * rng.uniform(0.9, 1.1)
+                bc = int(round((bt + mu) * FS))
+                half = int(5 * width * FS) + 1
+                lo, hi = max(bc - half, 0), min(bc + half, length)
+                if lo >= hi:
+                    continue
+                tt = (np.arange(lo, hi) / FS) - (bc / FS)
+                sig[lo:hi, ch] += a * np.exp(-0.5 * (tt / width) ** 2)
+    beat_samples = np.round(beat_times * FS).astype(np.int64)
+    keep = (beat_samples >= 0) & (beat_samples < length)
+    return sig.astype(np.float64), beat_samples[keep], labels[keep]
+
+
 def synth_beat_windows(
     kind: str,
     n: int,

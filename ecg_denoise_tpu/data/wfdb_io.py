@@ -78,6 +78,92 @@ def rdrecord_digital(record_path: str) -> np.ndarray:
     return flat.reshape(-1, hdr.n_sig)
 
 
+# --- MIT annotation (.atr) format ------------------------------------------
+#
+# The reference's cls_data derives N/V beat windows from MIT-BIH .atr beat
+# annotations (reference train_cls.py:17-37 consumes the resulting caches).
+# MIT annotation format (WFDB spec, annot(5)): a stream of little-endian
+# 16-bit words; high 6 bits = type code A, low 10 bits = interval I (time
+# delta in samples). A in 1..49 is an annotation at t += I. Pseudo-codes:
+# SKIP(59) with I == 0 -> next two words hold a 32-bit interval (high 16
+# bits first, PDP-11 long convention); NUM(60)/SUB(61)/CHN(62) carry field
+# updates in I; AUX(63) is followed by ceil(I/2) words of aux bytes.
+# A == 0 and I == 0 terminates the stream.
+
+_CODE2SYM = {
+    1: "N", 2: "L", 3: "R", 4: "a", 5: "V", 6: "F", 7: "J", 8: "A", 9: "S",
+    10: "E", 11: "j", 12: "/", 13: "Q", 14: "~", 16: "|", 18: "s", 19: "T",
+    20: "*", 21: "D", 22: '"', 23: "=", 24: "p", 25: "B", 26: "^", 27: "t",
+    28: "+", 29: "u", 30: "?", 31: "!", 32: "[", 33: "]", 34: "e", 35: "n",
+    36: "@", 37: "x", 38: "f", 39: "(", 40: ")", 41: "r",
+}
+_SYM2CODE = {v: k for k, v in _CODE2SYM.items()}
+
+_SKIP, _NUM, _SUB, _CHN, _AUX = 59, 60, 61, 62, 63
+
+
+def rdann(record_path: str, ext: str = "atr"):
+    """Read a WFDB annotation file -> (samples (n,) int64, symbols list).
+
+    Equivalent to wfdb.rdann(record_path, ext) restricted to the
+    (sample, symbol) pair the beat-cache builder needs; NUM/SUB/CHN/AUX
+    field updates are parsed and discarded.
+    """
+    raw = np.fromfile(f"{record_path}.{ext}", dtype=np.uint8)
+    words = raw[: raw.size - raw.size % 2].view("<u2")
+    t = 0
+    samples, symbols = [], []
+    i = 0
+    n = words.size
+    while i < n:
+        w = int(words[i])
+        i += 1
+        code, interval = w >> 10, w & 0x3FF
+        if code == 0 and interval == 0:
+            break
+        if code == _SKIP:
+            if interval == 0 and i + 1 < n:
+                t += (int(words[i]) << 16) | int(words[i + 1])
+                i += 2
+            # (a nonzero-interval SKIP advances time like an annotation
+            # but emits nothing)
+            else:
+                t += interval
+        elif code == _AUX:
+            i += (interval + 1) // 2  # skip aux bytes (word-padded)
+        elif code in (_NUM, _SUB, _CHN):
+            pass  # field updates; values not needed here
+        elif 1 <= code <= 49:
+            t += interval
+            samples.append(t)
+            symbols.append(_CODE2SYM.get(code, "?"))
+    return np.asarray(samples, np.int64), symbols
+
+
+def wrann(record_path: str, samples, symbols, ext: str = "atr") -> None:
+    """Write a minimal WFDB annotation file (inverse of rdann).
+
+    Used by the roundtrip tests (no real PhysioNet files are available in
+    this environment) and for exporting detector outputs in the standard
+    format.
+    """
+    samples = np.asarray(samples, np.int64)
+    out = []
+    t = 0
+    for s, sym in zip(samples, symbols):
+        delta = int(s) - t
+        t = int(s)
+        code = _SYM2CODE.get(sym, 13)  # unknown -> Q
+        if delta >= 1024 or delta < 0:
+            out.append(_SKIP << 10)
+            out.append((delta >> 16) & 0xFFFF)
+            out.append(delta & 0xFFFF)
+            delta = 0
+        out.append((code << 10) | delta)
+    out.append(0)  # terminator
+    np.asarray(out, dtype="<u2").tofile(f"{record_path}.{ext}")
+
+
 # Record ids used by the reference data pipeline.
 MITBIH_RECORDS = [
     100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 111, 112, 113, 114, 115,

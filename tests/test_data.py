@@ -124,3 +124,49 @@ def test_dataset_multi_noise_alignment(tmp_path):
     noisy, ground = ds[n + 3]  # row 3 of the 'ma' block
     np.testing.assert_array_equal(ground, clean[3])
     np.testing.assert_array_equal(noisy, clean[3] + 2)
+
+
+def test_atr_annotation_roundtrip(tmp_path):
+    """wrann -> rdann reproduces (samples, symbols) exactly, covering both
+    short intervals and >1023-sample gaps (the SKIP 32-bit interval path of
+    the MIT annotation format)."""
+    from ecg_denoise_tpu.data.wfdb_io import rdann, wrann
+
+    samples = np.array([10, 300, 1500, 1501, 200_000, 700_000], np.int64)
+    symbols = ["N", "V", "N", "A", "V", "N"]
+    wrann(str(tmp_path / "rec"), samples, symbols)
+    got_s, got_sym = rdann(str(tmp_path / "rec"))
+    np.testing.assert_array_equal(got_s, samples)
+    assert got_sym == symbols
+
+
+def test_atr_skips_aux_and_field_words(tmp_path):
+    """rdann must skip NUM/SUB/CHN field updates and AUX byte payloads
+    (hand-assembled stream per the WFDB annot(5) layout)."""
+    from ecg_denoise_tpu.data.wfdb_io import rdann
+
+    words = []
+    words.append((1 << 10) | 100)   # N at t=100
+    words.append((61 << 10) | 1)    # SUB update (discard)
+    words.append((63 << 10) | 3)    # AUX, 3 bytes -> 2 payload words
+    words.extend([0x4142, 0x0043])
+    words.append((5 << 10) | 50)    # V at t=150
+    words.append(0)                 # terminator
+    np.asarray(words, dtype="<u2").tofile(tmp_path / "rec.atr")
+    s, sym = rdann(str(tmp_path / "rec"))
+    np.testing.assert_array_equal(s, [100, 150])
+    assert sym == ["N", "V"]
+
+
+def test_annotated_synth_record_has_both_classes():
+    from ecg_denoise_tpu.data.synth import synth_ecg_record_annotated
+
+    sig, beats, labels = synth_ecg_record_annotated(0, length=100_000)
+    assert sig.shape == (100_000, 2)
+    assert beats.shape == labels.shape
+    assert (np.diff(beats) > 0).all()
+    assert 0.05 < labels.mean() < 0.6  # both N and V present
+    # R peaks land where annotated: channel-0 amplitude at the beat sample
+    # is large vs the record's overall level.
+    at_beats = np.abs(sig[beats[labels == 0], 0]).mean()
+    assert at_beats > 3 * np.abs(sig[:, 0]).mean()
