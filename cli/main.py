@@ -55,7 +55,7 @@ def main():
         model_name=cfg.model_name, noise_name=cfg.noise_name,
         noise_intensity=cfg.noise_intensity, seed=cfg.seed,
         model_save_dir=cfg.model_save_dir, output_file=cfg.output_file,
-        mesh=mesh,
+        mesh=mesh, r_pos_mode=cfg.r_pos,
     )
 
 

@@ -33,6 +33,7 @@ class TrainConfig:
     n_data: int | None = None  # data-parallel mesh size (None = all devices)
     n_model: int = 1  # tensor-parallel mesh size
     split_file: str | None = None  # pin/export exact train/test indices
+    r_pos: str | None = None  # 'detect' = R-peak-centred attention bias
 
     @property
     def noise_name(self) -> str:
@@ -69,6 +70,10 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--split_file", type=str, default=None,
                    help="JSON {'train': [...], 'test': [...]}; created if "
                         "absent — pins exact indices for parity runs")
+    p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
+                   help="'detect': centre the R-wave attention bias on each "
+                        "window's detected R peak (data/rpeaks.py) instead "
+                        "of the reference's fixed centre (RaleNet family)")
     return p
 
 

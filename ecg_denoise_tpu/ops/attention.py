@@ -66,10 +66,12 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """softmax(q @ k^T + bias) @ v over (B, H, L, D) operands.
 
-    `q` is pre-scaled by the caller. `bias` broadcasts as (1, H, L, L).
-    With use_pallas=True, dispatches to the fused TPU kernel.
+    `q` is pre-scaled by the caller. `bias` broadcasts as (1, H, L, L), or
+    (B, H, L, L) for per-window R-peak biases. With use_pallas=True,
+    dispatches to the fused TPU kernel (batch-shared bias only — the
+    per-window batched bias falls back to the XLA path).
     """
-    if use_pallas:
+    if use_pallas and (bias is None or bias.shape[0] == 1):
         from ecg_denoise_tpu.kernels.attention_pallas import fused_attention
 
         return fused_attention(q, k, v, bias)
@@ -320,17 +322,22 @@ class RelativePositionEmbedding(nn.Module):
         local = (
             jnp.asarray(table)[rel.reshape(-1)].reshape(W, W, H).transpose(2, 0, 1)
         )  # (H, W, W)
-        if r_pos is None:
-            offset = (L - W) // 2
-        else:
-            offset = r_pos - W // 2
         # Reference mask_fill uses F.pad, whose NEGATIVE pads TRUNCATE the
         # window at the edges (transformer.py:547-558) — a near-edge R peak
         # keeps only the in-range part of its bias. dynamic_update_slice
         # would CLAMP instead, shifting the whole window in-bounds. Match
         # truncation by updating into a W-margin buffer and cropping.
-        big = jnp.zeros((H, L + 2 * W, L + 2 * W), jnp.float32)
-        off = jnp.clip(jnp.asarray(offset) + W, 0, L + W)
-        big = jax.lax.dynamic_update_slice(big, local, (0, off, off))
-        full = big[:, W:W + L, W:W + L]
-        return full[None].astype(self.dtype)  # (1, H, L, L)
+        def embed(offset):
+            big = jnp.zeros((H, L + 2 * W, L + 2 * W), jnp.float32)
+            off = jnp.clip(jnp.asarray(offset) + W, 0, L + W)
+            big = jax.lax.dynamic_update_slice(big, local, (0, off, off))
+            return big[:, W:W + L, W:W + L]  # (H, L, L)
+
+        if r_pos is None:
+            return embed((L - W) // 2)[None].astype(self.dtype)  # (1, H, L, L)
+        r_pos = jnp.asarray(r_pos)
+        if r_pos.ndim == 0:
+            return embed(r_pos - W // 2)[None].astype(self.dtype)
+        # Per-window R peaks (framework extension beyond the reference's
+        # scalar hook): vmap the embedding -> a (B, H, L, L) batched bias.
+        return jax.vmap(lambda rp: embed(rp - W // 2))(r_pos).astype(self.dtype)

@@ -50,6 +50,7 @@ def fit(
     mesh=None,
     log_every: int = 1,
     verbose: bool = True,
+    r_pos_mode: Optional[str] = None,
 ):
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
@@ -88,7 +89,9 @@ def fit(
     tr_n, tr_c = put(train_noisy), put(train_clean)
     te_n, te_c = put(test_noisy), put(test_clean)
 
-    train_epoch, eval_epoch = make_epoch_fns(model, tx)
+    train_epoch, eval_epoch = make_epoch_fns(
+        model, tx, detect_r_pos=(r_pos_mode == "detect")
+    )
 
     train_snr_list, test_snr_list = [], []
     train_rmse_list, test_rmse_list = [], []

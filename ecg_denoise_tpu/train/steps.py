@@ -25,7 +25,8 @@ from ecg_denoise_tpu.metrics import SNR, RMSE
 from ecg_denoise_tpu.train.state import TrainState
 
 
-def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True):
+def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
+                   detect_r_pos: bool = False):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -34,7 +35,19 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True)
     eval_epoch(state, noisy, clean) -> metrics dict
         processes all N samples (tail handled by masked padding).
     Metrics are epoch means of the per-sample SNR/RMSE plus mean loss.
+
+    detect_r_pos=True runs the on-device R-peak detector (data/rpeaks.py)
+    on every input batch and feeds per-window positions to the model's
+    R-wave attention bias (RaleNet family's r_pos hook) — the paper's
+    namesake mechanism, driven; the reference only ever uses the fixed
+    centre (its R_pos hook is never supplied by any entry script).
     """
+    if detect_r_pos:
+        from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
+
+        r_kw = lambda x: {"r_pos": detect_r_peaks(x)}
+    else:
+        r_kw = lambda x: {}
 
     def apply_train(params, batch_stats, x):
         out, mut = model.apply(
@@ -42,11 +55,12 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True)
             x,
             train=True,
             mutable=["batch_stats"],
+            **r_kw(x),
         )
         return out, mut["batch_stats"]
 
     def apply_eval(variables, x):
-        return model.apply(variables, x, train=False)
+        return model.apply(variables, x, train=False, **r_kw(x))
 
     def loss_fn(params, batch_stats, data, target):
         pred, new_stats = apply_train(params, batch_stats, data)

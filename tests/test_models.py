@@ -87,6 +87,45 @@ def test_ralenet_r_pos_hook(key):
     assert np.isfinite(np.asarray(y_def)).all()
 
 
+def test_ralenet_per_window_r_pos_matches_scalar(key):
+    """A (B,) r_pos vector applies each window's own R-peak bias — row i of
+    the batched forward equals the scalar-r_pos forward of window i."""
+    model = build_model("ralenet")
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((3, 2, 256)), jnp.float32)
+    variables = model.init(key, x, train=True)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.05 if any("rwattn" in str(getattr(k, "key", "")) for k in p) else v,
+        variables["params"],
+    )
+    variables = {**variables, "params": params}
+    rp = jnp.asarray([40, 128, 220], jnp.int32)
+    batched = np.asarray(model.apply(variables, x, train=False, r_pos=rp))
+    for i in range(3):
+        single = np.asarray(
+            model.apply(variables, x[i : i + 1], train=False, r_pos=rp[i])
+        )
+        np.testing.assert_allclose(batched[i : i + 1], single, atol=1e-5)
+
+
+def test_detected_r_pos_train_step_runs(key):
+    """make_epoch_fns(detect_r_pos=True) — the --r_pos detect training path —
+    compiles and runs a RaleNet epoch with per-window detected peaks."""
+    from ecg_denoise_tpu.train.state import create_train_state
+    from ecg_denoise_tpu.train.steps import make_epoch_fns
+
+    model = build_model("ralenet")
+    noisy = jnp.asarray(
+        np.random.default_rng(6).standard_normal((8, 2, 256)), jnp.float32
+    )
+    clean = noisy * 0.5
+    state, tx = create_train_state(model, key, noisy[:2])
+    train_epoch, eval_epoch = make_epoch_fns(model, tx, donate=False,
+                                             detect_r_pos=True)
+    state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(1), 4)
+    ev = eval_epoch(state, noisy, clean, 4)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(ev["snr"]))
+
+
 def test_resnet_cls_shapes(key):
     model = ResNetCls()
     x = jnp.ones((2, 2, 1000))
