@@ -25,6 +25,64 @@ import time
 TORCH_CPU_BASELINE_WPS = 107.0  # reference ralenet fwd, CPU, batch 32 (see docstring)
 TORCH_CPU_TRAIN_BASELINE_WPS = 61.5  # reference ralenet Adam+MSE step, CPU, batch 32
 
+# Peak dense bf16 FLOP/s per chip, by jax device_kind substring (public
+# figures: v4 275, v5e 197, v5p 459, v6e 918 TFLOP/s; v2/v3 have no bf16
+# MXU mode beyond their f32 peaks of 22.5/61.5 per core x2).
+_PEAK_BF16_TFLOPS = [
+    ("v6", 918.0), ("v5p", 459.0), ("v5 lite", 197.0), ("v5e", 197.0),
+    ("v5litepod", 197.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+]
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def ralenet_flops_per_window(depth: int = 2, mlp_ratio: float = 4.0) -> float:
+    """Analytic forward FLOPs (mul+add = 2) for RaleNet('full') at L=256.
+
+    Used for the fused-Pallas path, whose kernel FLOPs are opaque to XLA's
+    cost model. Per TransformerBlock at (N, C): qkv 6NC^2 + proj 2NC^2 +
+    full-length attention 4N^2C + MLP 2*2*N*C*(ratio*C); the LeFF partial
+    conv touches a 1/hidden channel slice (negligible). Stage dims per
+    models/ralenet.py: enc (256,8)(128,16)(64,32)(32,64), bottleneck
+    (16,128), dec mirror; PatchMerging/Separate are thin Dense layers.
+    """
+    def block(n, c):
+        return (8 + 4 * mlp_ratio) * n * c * c + 4 * n * n * c
+
+    stages = [(256, 8), (128, 16), (64, 32), (32, 64)]
+    f = 0.0
+    for n, c in stages:
+        f += depth * block(n, c) * 2  # encoder + decoder mirror
+        f += 4 * n * c * c            # PatchMerging Dense(2C->2C) at N/2
+        f += 2 * n * c * c            # PatchSeparate Dense(C->C/2) at 2N
+    f += 2 * depth * block(16, 128)   # bottleneck + utransformer4
+    f += 2 * 256 * 3 * 2 * 8 * 2      # conv stem + head (k=3, 2<->8 ch)
+    return f
+
+
+def _roofline_fields(flops_per_call: float | None, calls_per_sec: float,
+                     batch: int) -> dict:
+    """MFU / roofline summary (VERDICT round-1 item 5: report MFU, not just
+    a torch-CPU ratio)."""
+    if not flops_per_call or flops_per_call <= 0:
+        return {}
+    import jax
+
+    fields = {
+        "gflops_per_window": round(flops_per_call / batch / 1e9, 4),
+        "tflops": round(flops_per_call * calls_per_sec / 1e12, 3),
+    }
+    peak = _peak_tflops(jax.devices()[0])
+    if peak:
+        fields["mfu_pct"] = round(100.0 * fields["tflops"] / peak, 2)
+    return fields
+
 
 def measure_torch_baseline(batch: int = 32, iters: int = 5) -> float:
     """Run the reference PyTorch model on CPU (for --measure-baseline)."""
@@ -111,11 +169,13 @@ def main() -> None:
             state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), bs)
         jax.block_until_ready(m)
         wps = epochs * (n // bs) * bs / (time.time() - t0)
+        flops = 3.0 * ralenet_flops_per_window() * n  # bwd ~= 2x fwd
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
             "vs_baseline": round(wps / TORCH_CPU_TRAIN_BASELINE_WPS, 2),
+            **_roofline_fields(flops, wps / n if flops else 0.0, n),
         }))
         return
     x = jnp.ones((args.batch, 2, 256), jnp.float32)
@@ -152,6 +212,10 @@ def main() -> None:
     baseline = (
         measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_WPS
     )
+    # MFU uses the analytic model-FLOP count for BOTH paths (Pallas custom
+    # calls are opaque to XLA's cost model, and the XLA count includes
+    # non-matmul elementwise work — measured 97.5 vs 66.5 MFLOP/window).
+    flops = ralenet_flops_per_window() * args.batch
     print(
         json.dumps(
             {
@@ -159,6 +223,7 @@ def main() -> None:
                 "value": round(wps, 1),
                 "unit": "windows/sec/chip",
                 "vs_baseline": round(wps / baseline, 2),
+                **_roofline_fields(flops, 1.0 / dt, args.batch),
             }
         )
     )
