@@ -32,15 +32,32 @@ def main():
     for k, v in vars(args).items():
         print(k, v)
 
+    distributed = False
+    if cfg.multihost:
+        # Must run BEFORE any other jax call so the global device view
+        # (all hosts' chips) is what make_mesh sees; no-op on one process.
+        from ecg_denoise_tpu.parallel import multihost
+
+        distributed = multihost.initialize()
+        print(f"multihost: distributed={'on' if distributed else 'off (single process)'}")
+
     tr_n, tr_c, te_n, te_c = load_split_arrays(
         cfg.noise_name, cfg.noise_intensity, path=cfg.data_path,
         n_select=cfg.n_select, seed=cfg.seed, split_file=cfg.split_file,
     )
+    if distributed:
+        # Per-host feeding: keep only this process's strided window shard;
+        # fit() reassembles the global batch via make_array_from_process_
+        # local_data (train/loop.py), so no host holds the full arrays.
+        from ecg_denoise_tpu.parallel import multihost
+
+        tr_n, tr_c = multihost.process_shard(tr_n, tr_c)
+        te_n, te_c = multihost.process_shard(te_n, te_c)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = build_model(cfg.model_index, use_pallas=cfg.use_pallas, dtype=dtype)
 
     mesh = None
-    if cfg.n_data or cfg.n_model > 1:
+    if cfg.n_data or cfg.n_model > 1 or distributed:
         from ecg_denoise_tpu.parallel import make_mesh
 
         mesh = make_mesh(cfg.n_data, cfg.n_model)

@@ -34,6 +34,7 @@ class TrainConfig:
     n_model: int = 1  # tensor-parallel mesh size
     split_file: str | None = None  # pin/export exact train/test indices
     r_pos: str | None = None  # 'detect' = R-peak-centred attention bias
+    multihost: bool = False  # jax.distributed init + per-host data feeding
 
     @property
     def noise_name(self) -> str:
@@ -70,6 +71,11 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--split_file", type=str, default=None,
                    help="JSON {'train': [...], 'test': [...]}; created if "
                         "absent — pins exact indices for parity runs")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed from JAX_COORDINATOR_"
+                        "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID and feed "
+                        "each host its strided data shard; no-op on a "
+                        "single process (parallel/multihost.py)")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="'detect': centre the R-wave attention bias on each "
                         "window's detected R peak (data/rpeaks.py) instead "

@@ -5,5 +5,13 @@ from ecg_denoise_tpu.parallel.mesh import (
     tp_param_spec,
     shard_state_dp_tp,
 )
+from ecg_denoise_tpu.parallel import multihost
 
-__all__ = ["make_mesh", "shard_batch", "replicate_state", "tp_param_spec", "shard_state_dp_tp"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate_state",
+    "tp_param_spec",
+    "shard_state_dp_tp",
+    "multihost",
+]

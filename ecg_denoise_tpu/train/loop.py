@@ -71,10 +71,10 @@ def fit(
 
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import (
-            shard_batch,
             replicate_state,
             shard_state_dp_tp,
         )
+        from ecg_denoise_tpu.parallel.multihost import global_batch
 
         if int(mesh.shape.get("model", 1)) > 1:
             # Tensor parallelism: Megatron col/row shardings on the
@@ -82,7 +82,10 @@ def fit(
             state = shard_state_dp_tp(state, mesh)
         else:
             state = replicate_state(state, mesh)
-        put = lambda a: shard_batch(jnp.asarray(a), mesh)
+        # global_batch == shard_batch on one process; on a multi-host mesh
+        # it assembles the global array from this host's local shard
+        # (callers feed per-host data via multihost.process_shard).
+        put = lambda a: global_batch(np.asarray(a), mesh)
     else:
         put = lambda a: jax.device_put(jnp.asarray(a))
 
