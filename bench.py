@@ -128,6 +128,10 @@ def main() -> None:
     ap.add_argument("--train", action="store_true",
                     help="measure TRAINING throughput (jitted whole-epoch "
                          "scan: fwd+bwd+Adam+metrics) instead of inference")
+    ap.add_argument("--fast-train", action="store_true",
+                    help="with --train: route the train step through the "
+                         "fused Pallas layer kernels (fwd + in-kernel-vjp "
+                         "bwd) instead of the XLA autodiff path")
     args = ap.parse_args()
     if args.batch is None:
         args.batch = 32 if args.train else 512
@@ -159,19 +163,27 @@ def main() -> None:
         noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
         clean = noisy * 0.5
         state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
-        train_epoch, _ = make_epoch_fns(model, tx, donate=False)
+        train_epoch, _ = make_epoch_fns(
+            model, tx, donate=False,
+            fast_variant="full" if args.fast_train else None,
+            fast_mm_dtype=dtype if args.fast_train else None,
+        )
         key = jax.random.PRNGKey(1)
         state, m = train_epoch(state, noisy, clean, key, bs)  # compile
-        jax.block_until_ready(m)
+        jax.device_get(m)
         t0 = time.time()
         epochs = max(args.iters // 5, 1)
         for i in range(epochs):
             state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), bs)
-        jax.block_until_ready(m)
+        # device_get, not block_until_ready: a host round-trip of the final
+        # metrics is a hard data dependency on the whole epoch chain even if
+        # the remote-tunnel backend treats block_until_ready as a no-op.
+        jax.device_get(m)
         wps = epochs * (n // bs) * bs / (time.time() - t0)
         flops = 3.0 * ralenet_flops_per_window() * n  # bwd ~= 2x fwd
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
+            "path": "pallas-fused" if args.fast_train else "xla",
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
             "vs_baseline": round(wps / TORCH_CPU_TRAIN_BASELINE_WPS, 2),
@@ -201,11 +213,12 @@ def main() -> None:
             return model.apply(variables, batch, train=False)
 
     jax.block_until_ready(fwd(x))  # compile + warmup
-    jax.block_until_ready(fwd(x))
+    jax.device_get(fwd(x)[:1, :1, :1])
     t0 = time.time()
     for _ in range(args.iters):
         out = fwd(x)
-    jax.block_until_ready(out)
+    # Hard sync: host round-trip of a slice of the LAST output (see --train).
+    jax.device_get(out[:1, :1, :1])
     dt = (time.time() - t0) / args.iters
     wps = args.batch / dt
 

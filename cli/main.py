@@ -73,6 +73,10 @@ def main():
         noise_intensity=cfg.noise_intensity, seed=cfg.seed,
         model_save_dir=cfg.model_save_dir, output_file=cfg.output_file,
         mesh=mesh, r_pos_mode=cfg.r_pos,
+        fast_variant=(
+            {"ralenet": "full", "ralenet_mlp": "mlp", "ralenet_nra": "nra"}
+            .get(cfg.model_name) if cfg.fast_train else None
+        ),
     )
 
 

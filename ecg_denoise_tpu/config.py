@@ -35,6 +35,7 @@ class TrainConfig:
     split_file: str | None = None  # pin/export exact train/test indices
     r_pos: str | None = None  # 'detect' = R-peak-centred attention bias
     multihost: bool = False  # jax.distributed init + per-host data feeding
+    fast_train: bool = False  # fused Pallas layer kernels in the train step
 
     @property
     def noise_name(self) -> str:
@@ -76,6 +77,10 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
                         "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID and feed "
                         "each host its strided data shard; no-op on a "
                         "single process (parallel/multihost.py)")
+    p.add_argument("--fast_train", action="store_true",
+                   help="train through the fused Pallas layer kernels "
+                        "(fwd + in-kernel-vjp bwd; RaleNet family only — "
+                        "kernels/block_pallas.fused_layer_diff)")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="'detect': centre the R-wave attention bias on each "
                         "window's detected R peak (data/rpeaks.py) instead "

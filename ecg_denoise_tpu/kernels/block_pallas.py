@@ -127,8 +127,17 @@ def _block_unit_elems(H: int, L: int, C: int, hid: int) -> int:
     )
 
 
-def block_group_size(B: int, H: int, L: int, C: int, hid: int) -> int:
-    unit = _block_unit_elems(H, L, C, hid) * 4  # f32 bytes
+def block_group_size(B: int, H: int, L: int, C: int, hid: int,
+                     unit_scale: float = 1.0) -> int:
+    """Largest divisor of B whose working set fits the VMEM budget.
+
+    unit_scale inflates the per-window estimate for the BACKWARD kernel:
+    jax.vjp of the layer math keeps each block's forward intermediates live
+    until its cotangents are consumed, roughly (n_blocks + 2) x the forward
+    set before Mosaic's liveness reuse (which the estimate ignores — it is
+    deliberately conservative).
+    """
+    unit = _block_unit_elems(H, L, C, hid) * 4 * unit_scale  # f32 bytes
     g = 1
     for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
         if B % cand == 0 and cand * unit <= _BUDGET_BYTES:
@@ -255,40 +264,100 @@ def fused_layer(x, pe, bias, blocks_params: Sequence,
     once per group — the weights are NOT re-fetched per grid step.
     """
     B, L, C = x.shape
-    has_bias = bias is not None
-    n_blocks = len(blocks_params)
+    flat_w, has_cw, hid = flatten_blocks_params(blocks_params, local_enhence)
+    b3 = None if bias is None else bias.reshape(num_heads, L, L)
+    return _fused_layer_call(x, pe, b3, flat_w, has_cw,
+                             num_heads=num_heads, mm_dtype=mm_dtype, hid=hid)
 
-    flat_weights = []
-    has_cw = []
-    hid = C
+
+def fused_block(x, pe, bias, params, *, num_heads: int, local_enhence: bool,
+                mm_dtype=jnp.bfloat16):
+    """Apply one fused TransformerBlock (single-block fused_layer)."""
+    return fused_layer(x, pe, bias, [params], num_heads=num_heads,
+                       local_enhence=local_enhence, mm_dtype=mm_dtype)
+
+
+# --- differentiable fused layer (training path, SURVEY §7 step 6) -------------
+#
+# custom_vjp around the SAME layer math: the forward is one pallas_call per
+# stage (identical to fused_layer, but over a FLAT weight tuple so the
+# cotangent structure is explicit); the backward is ONE pallas_call that
+# RECOMPUTES the forward in-kernel (flash-style — no inter-kernel residuals
+# beyond the inputs) and differentiates it with an in-kernel jax.vjp. dx is
+# written per grid step; dbias and every weight gradient use the TPU grid's
+# sequential execution as an accumulator (zero at step 0, += after), exactly
+# like attention_pallas._bwd_kernel's dbias.
+
+
+def _flat_to_blocks(flat, has_cw: Sequence[bool]):
+    """Regroup a flat weight tuple into per-block _block_math w-lists."""
+    blocks, i = [], 0
+    for cw_flag in has_cw:
+        n_w = _W_NAMES - (0 if cw_flag else 1)
+        w = list(flat[i:i + n_w])
+        i += n_w
+        if not cw_flag:
+            w.insert(12, None)
+        blocks.append(w)
+    assert i == len(flat), (i, len(flat))
+    return blocks
+
+
+def flatten_blocks_params(blocks_params: Sequence, local_enhence: bool):
+    """Flax block subtrees -> (flat weight tuple, has_cw tuple, hidden dim)."""
+    flat, has_cw, hid = [], [], 0
     for bp in blocks_params:
         w = _block_weights(bp, local_enhence)
         hid = max(hid, w[10].shape[1])
         has_cw.append(w[12] is not None)
-        flat_weights.extend(a for a in w if a is not None)
+        flat.extend(a for a in w if a is not None)
+    return tuple(flat), tuple(has_cw), hid
 
+
+def _layer_math(x, pe, bias_f, flat_w, has_cw, *, num_heads: int, mm_dtype):
+    """Whole-stage math on f32 values (shared by fwd/bwd kernels + the XLA
+    fallback; differentiable by construction)."""
+    for w in _flat_to_blocks(flat_w, has_cw):
+        x = _block_math(x, pe, bias_f, w, num_heads=num_heads,
+                        mm_dtype=mm_dtype)
+    return x
+
+
+def layer_math_xla(x, pe, bias, flat_w, has_cw, *, num_heads: int,
+                   mm_dtype=jnp.float32):
+    """The identical stage math as plain XLA ops (no pallas_call).
+
+    Serves two roles: the numerics oracle for the kernel tests, and the
+    per-stage fallback when the backward working-set estimate exceeds VMEM
+    (fused_layer_diff(..., backend='xla')). Differentiable by XLA autodiff.
+    """
+    bias_f = None if bias is None else bias.astype(jnp.float32)
+    y = _layer_math(x.astype(jnp.float32), pe.astype(jnp.float32), bias_f,
+                    flat_w, has_cw, num_heads=num_heads, mm_dtype=mm_dtype)
+    return y.astype(x.dtype)
+
+
+def _fused_layer_call(x, pe, bias, flat_w, has_cw, *, num_heads: int,
+                      mm_dtype, hid: int):
+    """Forward pallas_call over flat weights (same kernel as fused_layer)."""
+    B, L, C = x.shape
+    has_bias = bias is not None
+    n_flat = len(flat_w)
     G = block_group_size(B, num_heads, L, C, hid)
 
     def kernel(*refs):
         o_ref = refs[-1]
-        x_ref, pe_ref = refs[0], refs[1]
+        x_val = refs[0][:].astype(jnp.float32)
+        pe_val = refs[1][:].astype(jnp.float32)
         idx = 2
         bias_f = None
         if has_bias:
             bias_f = refs[idx][:].astype(jnp.float32)
             idx += 1
-        x_val = x_ref[:].astype(jnp.float32)
-        pe_val = pe_ref[:].astype(jnp.float32)
-        for bi in range(n_blocks):
-            n_w = _W_NAMES - (0 if has_cw[bi] else 1)
-            wrefs = list(refs[idx:idx + n_w])
-            idx += n_w
-            w = [r[:].astype(jnp.float32) for r in wrefs]
-            if not has_cw[bi]:
-                w.insert(12, None)
-            x_val = _block_math(x_val, pe_val, bias_f, w,
-                                num_heads=num_heads, mm_dtype=mm_dtype)
-        o_ref[:] = x_val.astype(o_ref.dtype)
+        w_vals = tuple(r[:].astype(jnp.float32) for r in refs[idx:idx + n_flat])
+        y = _layer_math(x_val, pe_val, bias_f, w_vals, has_cw,
+                        num_heads=num_heads, mm_dtype=mm_dtype)
+        o_ref[:] = y.astype(o_ref.dtype)
 
     x_spec = pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -298,13 +367,11 @@ def fused_layer(x, pe, bias, blocks_params: Sequence,
     in_specs = [x_spec, full(pe)]
     args = [x, pe]
     if has_bias:
-        b3 = bias.reshape(num_heads, L, L)
-        in_specs.append(full(b3))
-        args.append(b3)
-    for w in flat_weights:
+        in_specs.append(full(bias))
+        args.append(bias)
+    for w in flat_w:
         in_specs.append(full(w))
         args.append(w)
-
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -315,8 +382,157 @@ def fused_layer(x, pe, bias, blocks_params: Sequence,
     )(*args)
 
 
-def fused_block(x, pe, bias, params, *, num_heads: int, local_enhence: bool,
-                mm_dtype=jnp.bfloat16):
-    """Apply one fused TransformerBlock (single-block fused_layer)."""
-    return fused_layer(x, pe, bias, [params], num_heads=num_heads,
-                       local_enhence=local_enhence, mm_dtype=mm_dtype)
+def _fused_layer_bwd_call(x, pe, bias, flat_w, g, has_cw, *, num_heads: int,
+                          mm_dtype, hid: int):
+    """Backward pallas_call: recompute + in-kernel vjp, grads accumulated
+    across the sequential grid. Returns (dx, dbias|None, dflat_w tuple)."""
+    B, L, C = x.shape
+    has_bias = bias is not None
+    n_flat = len(flat_w)
+    n_blocks = len(has_cw)
+    G = block_group_size(B, num_heads, L, C, hid,
+                         unit_scale=float(n_blocks + 2))
+    n_in = 2 + (1 if has_bias else 0) + n_flat + 1
+
+    def kernel(*refs):
+        in_refs, out_refs = refs[:n_in], refs[n_in:]
+        first = pl.program_id(0) == 0
+        x_val = in_refs[0][:].astype(jnp.float32)
+        pe_val = in_refs[1][:].astype(jnp.float32)
+        idx = 2
+        bias_val = None
+        if has_bias:
+            bias_val = in_refs[idx][:].astype(jnp.float32)
+            idx += 1
+        w_vals = tuple(r[:].astype(jnp.float32) for r in in_refs[idx:idx + n_flat])
+        g_val = in_refs[-1][:].astype(jnp.float32)
+
+        if has_bias:
+            def fn(xv, bv, wv):
+                return _layer_math(xv, pe_val, bv, wv, has_cw,
+                                   num_heads=num_heads, mm_dtype=mm_dtype)
+
+            _, vjp = jax.vjp(fn, x_val, bias_val, w_vals)
+            dx, dbias, dws = vjp(g_val)
+        else:
+            def fn(xv, wv):
+                return _layer_math(xv, pe_val, None, wv, has_cw,
+                                   num_heads=num_heads, mm_dtype=mm_dtype)
+
+            _, vjp = jax.vjp(fn, x_val, w_vals)
+            dx, dws = vjp(g_val)
+            dbias = None
+
+        out_refs[0][:] = dx.astype(out_refs[0].dtype)
+
+        def accumulate(ref, val):
+            @pl.when(first)
+            def _():
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+            ref[:] += val.astype(ref.dtype)
+
+        oi = 1
+        if has_bias:
+            accumulate(out_refs[oi], dbias)
+            oi += 1
+        for dw in dws:
+            accumulate(out_refs[oi], dw)
+            oi += 1
+
+    x_spec = pl.BlockSpec((G, L, C), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b, _n=arr.ndim: (0,) * _n, memory_space=pltpu.VMEM
+    )
+    in_specs = [x_spec, full(pe)]
+    args = [x, pe]
+    if has_bias:
+        in_specs.append(full(bias))
+        args.append(bias)
+    for w in flat_w:
+        in_specs.append(full(w))
+        args.append(w)
+    in_specs.append(x_spec)
+    args.append(g)
+
+    out_specs = [x_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, L, C), x.dtype)]
+    if has_bias:
+        out_specs.append(full(bias))
+        out_shape.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+    for w in flat_w:
+        out_specs.append(full(w))
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(*args)
+    dx = outs[0]
+    oi = 1
+    dbias = None
+    if has_bias:
+        dbias = outs[oi].astype(bias.dtype)
+        oi += 1
+    dws = tuple(o.astype(w.dtype) for o, w in zip(outs[oi:], flat_w))
+    return dx, dbias, dws
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_layer_diff(x, pe, bias, flat_w, has_cw, num_heads, mm_dtype, hid):
+    return _fused_layer_call(x, pe, bias, flat_w, has_cw,
+                             num_heads=num_heads, mm_dtype=mm_dtype, hid=hid)
+
+
+def _fused_layer_diff_fwd(x, pe, bias, flat_w, has_cw, num_heads, mm_dtype, hid):
+    y = _fused_layer_call(x, pe, bias, flat_w, has_cw,
+                          num_heads=num_heads, mm_dtype=mm_dtype, hid=hid)
+    return y, (x, pe, bias, flat_w)
+
+
+def _fused_layer_diff_bwd(has_cw, num_heads, mm_dtype, hid, res, g):
+    x, pe, bias, flat_w = res
+    dx, dbias, dws = _fused_layer_bwd_call(
+        x, pe, bias, flat_w, g, has_cw,
+        num_heads=num_heads, mm_dtype=mm_dtype, hid=hid,
+    )
+    # pe is the constant sinusoidal table: no gradient flows to parameters
+    # through it, but custom_vjp requires a cotangent for every diff arg.
+    return dx, jnp.zeros_like(pe), dbias, dws
+
+
+_fused_layer_diff.defvjp(_fused_layer_diff_fwd, _fused_layer_diff_bwd)
+
+
+def fused_layer_diff(x, pe, bias, blocks_params: Sequence, *, num_heads: int,
+                     local_enhence: bool, mm_dtype=jnp.float32,
+                     backend: str = "auto"):
+    """DIFFERENTIABLE whole-stage fused layer for the training path.
+
+    Same semantics as fused_layer; gradients flow to x, bias (the R-wave
+    rel-pos table upstream) and every block weight. mm_dtype defaults to
+    f32 (training parity); bf16 engages the MXU fast path in both kernels.
+
+    backend: 'pallas' forces the kernels, 'xla' the identical plain-XLA
+    math (autodiff), 'auto' picks XLA only when even G=1 would blow the
+    backward VMEM estimate (L=256 stages at depth>=2).
+    """
+    flat_w, has_cw, hid = flatten_blocks_params(blocks_params, local_enhence)
+    B, L, C = x.shape
+    if backend == "auto":
+        # G=1 feasibility against ~physical VMEM (not the grouped-forward
+        # budget): the (n_blocks+2)x estimate ignores Mosaic's liveness
+        # reuse, so gating it on _BUDGET_BYTES would reject every stage.
+        unit = _block_unit_elems(num_heads, L, C, hid) * 4
+        over = unit * (len(has_cw) + 2) > 14 * 1024 * 1024
+        backend = "xla" if over else "pallas"
+    if backend == "xla":
+        return layer_math_xla(x, pe, bias, flat_w, has_cw,
+                              num_heads=num_heads, mm_dtype=mm_dtype)
+    return _fused_layer_diff(x, pe, bias, flat_w, has_cw, num_heads,
+                             mm_dtype, hid)

@@ -51,6 +51,7 @@ def fit(
     log_every: int = 1,
     verbose: bool = True,
     r_pos_mode: Optional[str] = None,
+    fast_variant: Optional[str] = None,
 ):
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
@@ -93,7 +94,8 @@ def fit(
     te_n, te_c = put(test_noisy), put(test_clean)
 
     train_epoch, eval_epoch = make_epoch_fns(
-        model, tx, detect_r_pos=(r_pos_mode == "detect")
+        model, tx, detect_r_pos=(r_pos_mode == "detect"),
+        fast_variant=fast_variant,
     )
 
     train_snr_list, test_snr_list = [], []

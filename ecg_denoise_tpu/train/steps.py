@@ -26,7 +26,9 @@ from ecg_denoise_tpu.train.state import TrainState
 
 
 def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
-                   detect_r_pos: bool = False):
+                   detect_r_pos: bool = False,
+                   fast_variant: Optional[str] = None,
+                   fast_mm_dtype=None):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -41,7 +43,15 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     R-wave attention bias (RaleNet family's r_pos hook) — the paper's
     namesake mechanism, driven; the reference only ever uses the fixed
     centre (its R_pos hook is never supplied by any entry script).
+
+    fast_variant ('full'/'mlp'/'nra'): route both train and eval forwards
+    through the fused Pallas layer kernels (models/ralenet_fast.py;
+    training via fused_layer_diff's in-kernel-vjp backward). The state tree
+    is unchanged — checkpoints are interchangeable with the XLA path.
     """
+    if detect_r_pos and fast_variant:
+        raise ValueError("per-window r_pos needs the XLA attention path; "
+                         "use detect_r_pos OR fast_variant, not both")
     if detect_r_pos:
         from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
 
@@ -49,18 +59,35 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     else:
         r_kw = lambda x: {}
 
-    def apply_train(params, batch_stats, x):
-        out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x,
-            train=True,
-            mutable=["batch_stats"],
-            **r_kw(x),
-        )
-        return out, mut["batch_stats"]
+    if fast_variant:
+        import jax.numpy as _jnp
 
-    def apply_eval(variables, x):
-        return model.apply(variables, x, train=False, **r_kw(x))
+        from ecg_denoise_tpu.models.ralenet_fast import apply_fast, apply_fast_train
+
+        mm = fast_mm_dtype or _jnp.float32
+
+        def apply_train(params, batch_stats, x):
+            return apply_fast_train(
+                {"params": params, "batch_stats": batch_stats}, x,
+                variant=fast_variant, mm_dtype=mm,
+            )
+
+        def apply_eval(variables, x):
+            return apply_fast(variables, x, variant=fast_variant, mm_dtype=mm)
+    else:
+
+        def apply_train(params, batch_stats, x):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                **r_kw(x),
+            )
+            return out, mut["batch_stats"]
+
+        def apply_eval(variables, x):
+            return model.apply(variables, x, train=False, **r_kw(x))
 
     def loss_fn(params, batch_stats, data, target):
         pred, new_stats = apply_train(params, batch_stats, data)

@@ -17,7 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# ECG_TEST_TPU=1 keeps the real backend so the TPU-gated on-hardware kernel
+# tests (tests/test_tpu_kernels.py) can run: e.g.
+#   ECG_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
+# Everything else forces CPU (8 virtual devices for the mesh tests).
+if os.environ.get("ECG_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,126 @@
+"""On-hardware (Mosaic-compiled) Pallas kernel coverage — TPU-gated.
+
+The rest of the suite runs the kernels in interpret mode on CPU (fast,
+semantics only); nothing there catches Mosaic lowering/layout regressions.
+These tests execute the real kernels — forward AND custom-VJP backward —
+on the chip (VERDICT round-1 item 6). They are skipped unless the session
+keeps its TPU backend:
+
+    ECG_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
+
+(tests/conftest.py forces CPU unless ECG_TEST_TPU=1.) Compiles go through
+the remote tunnel (minutes cold; cached afterwards) — shapes here are kept
+small and constant so the persistent compilation cache makes re-runs cheap.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="on-hardware Mosaic tests need a TPU backend (ECG_TEST_TPU=1)",
+)
+
+
+def _attention_oracle(q, k, v, bias):
+    logits = jnp.einsum("bhld,bhmd->bhlm", q, k)
+    if bias is not None:
+        logits = logits + bias
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhlm,bhmd->bhld", p, v)
+
+
+def test_fused_attention_fwd_bwd_on_chip():
+    """attention_pallas.fused_attention forward + custom-VJP backward,
+    Mosaic-compiled, vs the XLA einsum oracle."""
+    from ecg_denoise_tpu.kernels.attention_pallas import fused_attention
+
+    B, H, L, D = 8, 2, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[3], (1, H, L, L), jnp.float32)
+    cot = jax.random.normal(ks[4], (B, H, L, D), jnp.float32)
+
+    def loss_k(q, k, v, bias):
+        return jnp.sum(fused_attention(q, k, v, bias) * cot)
+
+    def loss_o(q, k, v, bias):
+        return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
+
+    vk, gk = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    vo, go = jax.jit(jax.value_and_grad(loss_o, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    np.testing.assert_allclose(float(vk), float(vo), rtol=2e-5)
+    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3, err_msg=name)
+
+
+def test_fused_layer_fwd_on_chip():
+    """block_pallas.fused_layer (whole-stage forward) vs the flax
+    BasicLayer, Mosaic-compiled."""
+    from ecg_denoise_tpu.ops.attention import BasicLayer, sinusoidal_pe_table
+    import ecg_denoise_tpu.kernels.block_pallas as bp
+
+    L, C, H = 32, 8, 2
+    layer = BasicLayer(dim=C, depth=2, num_heads=H, local_enhence=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, L, C), jnp.float32)
+    bias = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, H, L, L))
+    params = layer.init(jax.random.PRNGKey(0), x, bias)["params"]
+    pe = sinusoidal_pe_table(1000, C)[0, :L, :]
+    blocks = [params["blocks_0"], params["blocks_1"]]
+
+    ref = jax.jit(lambda p, x: layer.apply({"params": p}, x, bias))(params, x)
+    got = jax.jit(lambda x: bp.fused_layer(
+        x, pe, bias, blocks, num_heads=H, local_enhence=True,
+        mm_dtype=jnp.float32))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_layer_diff_bwd_on_chip():
+    """block_pallas.fused_layer_diff backward (in-kernel jax.vjp, grads
+    accumulated across the sequential grid) vs XLA autodiff of the flax
+    layer — every block weight, dx and dbias, Mosaic-compiled."""
+    from ecg_denoise_tpu.ops.attention import BasicLayer, sinusoidal_pe_table
+    import ecg_denoise_tpu.kernels.block_pallas as bp
+
+    L, C, H = 32, 8, 2
+    layer = BasicLayer(dim=C, depth=2, num_heads=H, local_enhence=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, L, C), jnp.float32)
+    bias = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, H, L, L))
+    params = layer.init(jax.random.PRNGKey(0), x, bias)["params"]
+    pe = sinusoidal_pe_table(1000, C)[0, :L, :]
+    b3 = bias.reshape(H, L, L)
+    cot = jax.random.normal(jax.random.PRNGKey(3), x.shape, jnp.float32)
+
+    def loss_ref(params, x, bias):
+        return jnp.sum(layer.apply({"params": params}, x, bias) * cot)
+
+    def loss_pl(params, x, b3):
+        blocks = [params["blocks_0"], params["blocks_1"]]
+        y = bp.fused_layer_diff(x, pe, b3, blocks, num_heads=H,
+                                local_enhence=True, mm_dtype=jnp.float32,
+                                backend="pallas")
+        return jnp.sum(y * cot)
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(params, x, bias)
+    g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2)))(params, x, b3)
+
+    ref_leaves = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(g_ref[0])}
+    for k, got in jax.tree_util.tree_leaves_with_path(g_pl[0]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref_leaves[jax.tree_util.keystr(k)]),
+            atol=3e-4, rtol=2e-3, err_msg=jax.tree_util.keystr(k),
+        )
+    np.testing.assert_allclose(np.asarray(g_pl[1]), np.asarray(g_ref[1]),
+                               atol=3e-4, rtol=2e-3, err_msg="dx")
+    np.testing.assert_allclose(
+        np.asarray(g_pl[2]).reshape(-1), np.asarray(g_ref[2]).reshape(-1),
+        atol=3e-4, rtol=2e-3, err_msg="dbias",
+    )
