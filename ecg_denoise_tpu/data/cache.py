@@ -44,7 +44,7 @@ def _znorm(x: np.ndarray) -> np.ndarray:
 
 
 def load_source_records(data_root: str | None, n_synth_records: int, seed: int,
-                        n_channels: int = 2):
+                        n_channels: int = 2, pvc_prob: float = 0.0):
     """Return (list of ecg records (T,2), dict of noise records (T,2)).
 
     Prefers real PhysioNet directories (mit-bih-arrhythmia / noise-stress-test
@@ -66,7 +66,8 @@ def load_source_records(data_root: str | None, n_synth_records: int, seed: int,
                     noises[kind] = wfdb_io.rdrecord_digital(p).astype(np.float64)
     if not ecgs or len(noises) < 3:
         ecgs = [
-            synth.synth_ecg_record(seed + i, n_channels=n_channels)
+            synth.synth_ecg_record(seed + i, n_channels=n_channels,
+                                   pvc_prob=pvc_prob)
             for i in range(n_synth_records)
         ]
         noises = {
@@ -83,14 +84,21 @@ def build_dict_data(
     seed: int = 2023,
     intensities=(-4, -2, 0, 2, 4),
     n_channels: int = 2,
+    pvc_prob: float = 0.15,
 ) -> dict:
     """Build the dict_data cache. Returns {'n_windows': N, 'out_dir': ...}.
 
     n_channels=12 builds the 12-lead (LUDB-like) ExternalData cache the
     transfer-learning path consumes (reference Transfer_learning.py:47).
+
+    pvc_prob: fraction of synthetic beats given ventricular (PVC)
+    morphology, mirroring real MIT-BIH records' natural ectopy — the
+    denoiser corpus must cover the V beats the downstream benchmark
+    classifies (no effect when real records are used).
     """
     rng = np.random.default_rng(seed)
-    ecgs, noises = load_source_records(data_root, n_synth_records, seed, n_channels)
+    ecgs, noises = load_source_records(data_root, n_synth_records, seed,
+                                       n_channels, pvc_prob=pvc_prob)
 
     stretch = WINDOW * STRETCH_WINDOWS
     clean_stretches = []

@@ -13,10 +13,18 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _xp(x):
+    """numpy for host arrays, jnp for anything jax-traced/device-resident.
+
+    Dispatch on NOT-numpy rather than isinstance(jnp.ndarray): tracers and
+    jax.Array classes vary across jax versions, np.ndarray does not."""
+    return np if isinstance(x, (np.ndarray, list, tuple, float, int)) else jnp
+
+
 def znorm(x, axis: int = -1, eps: float = 0.0):
     """Zero-mean unit-std over `axis` (the reference's np_norm semantics:
     per-signal standardization; std==0 rows pass through unscaled)."""
-    xp = jnp if isinstance(x, jnp.ndarray) else np
+    xp = _xp(x)
     m = xp.mean(x, axis=axis, keepdims=True)
     s = xp.std(x, axis=axis, keepdims=True)
     denom = xp.where(s > eps, s, 1.0) if eps == 0.0 else s + eps
@@ -25,7 +33,7 @@ def znorm(x, axis: int = -1, eps: float = 0.0):
 
 def minmax_norm(x, axis: int = -1):
     """Scale to [0, 1] over `axis` (the reference np_normlize variant)."""
-    xp = jnp if isinstance(x, jnp.ndarray) else np
+    xp = _xp(x)
     lo = xp.min(x, axis=axis, keepdims=True)
     hi = xp.max(x, axis=axis, keepdims=True)
     rng = hi - lo

@@ -64,6 +64,20 @@ def test_synth_records():
     assert np.abs(np.diff(bw[:, 0])).mean() < 0.1 * np.abs(np.diff(ma[:, 0])).mean()
 
 
+def test_synth_record_pvc_mixing():
+    """pvc_prob=0 is byte-stable with the pre-PVC generator (same RNG
+    stream); pvc_prob>0 swaps that fraction of beats to V morphology
+    (wider, larger QRS) so the denoiser corpus covers ectopic beats."""
+    a = synth_ecg_record(5, length=40_000)
+    c = synth_ecg_record(5, length=40_000, pvc_prob=0.0)
+    np.testing.assert_array_equal(a, c)
+    b = synth_ecg_record(5, length=40_000, pvc_prob=1.0)
+    assert b.shape == a.shape
+    assert not np.allclose(a, b)
+    # All-V records carry far more energy (wide QRS, amp 1.4 vs narrow 1.1).
+    assert (b[:, 0] ** 2).mean() > 1.5 * (a[:, 0] ** 2).mean()
+
+
 @pytest.fixture(scope="module")
 def small_cache(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("dict_data"))
