@@ -181,9 +181,18 @@ def run_report(args):
               f"| {b['test_snr'] - a['test_snr']:+9.3f} "
               f"| {a['test_rmse']:10.4f} | {b['test_rmse']:8.4f}")
     d = j[-1]["test_snr"] - t[-1]["test_snr"]
-    print(f"final: torch {t[-1]['test_snr']:.3f} dB vs jax "
-          f"{j[-1]['test_snr']:.3f} dB -> delta {d:+.3f} dB "
-          f"({'PASS' if abs(d) <= 0.3 else 'FAIL'} at 0.3 dB)")
+    print(f"final epoch: torch {t[-1]['test_snr']:.3f} dB vs jax "
+          f"{j[-1]['test_snr']:.3f} dB -> delta {d:+.3f} dB")
+    # Gate on the mean of the last 5 epochs: per-epoch test SNR fluctuates
+    # ~±0.4 dB under SGD noise on BOTH sides (see the torch column), so a
+    # single-epoch comparison is noise-dominated; the smoothed plateau is
+    # the meaningful system-parity statistic.
+    k = min(5, len(t), len(j))
+    tm = sum(x["test_snr"] for x in t[-k:]) / k
+    jm = sum(x["test_snr"] for x in j[-k:]) / k
+    dm = jm - tm
+    print(f"last-{k} mean: torch {tm:.3f} dB vs jax {jm:.3f} dB -> delta "
+          f"{dm:+.3f} dB ({'PASS' if abs(dm) <= 0.3 else 'FAIL'} at 0.3 dB)")
 
 
 def main():
