@@ -217,10 +217,15 @@ def _block_math(x, pe, bias_f, w, *, num_heads: int, mm_dtype):
     f = _gelu_exact(f).reshape(G, L, hid)
     if cw is not None:
         # PartialConv with n_div == hidden: ONLY channel 0 is convolved
-        # (k=3, pad=1, no bias; reference transformer.py:144) ...
+        # (k=3, pad=1, no bias; reference transformer.py:144). The +-1
+        # shifts are roll+mask rather than pad+slice: the slice-of-pad VJP
+        # lowers to a negative-size pad Mosaic rejects ("vector types must
+        # have positive constant sizes"), while roll's VJP is a roll and
+        # where's is a where — both lower cleanly in fwd AND bwd kernels.
         c0 = f[:, :, 0]  # (G, L)
-        left = jnp.pad(c0, ((0, 0), (1, 0)))[:, :L]
-        right = jnp.pad(c0, ((0, 0), (0, 1)))[:, 1:]
+        col = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 1)
+        left = jnp.where(col > 0, jnp.roll(c0, 1, axis=1), 0.0)
+        right = jnp.where(col < L - 1, jnp.roll(c0, -1, axis=1), 0.0)
         c0 = cw[0] * left + cw[1] * c0 + cw[2] * right
         f = jnp.concatenate([c0[:, :, None], f[:, :, 1:]], axis=-1)
         # ... then gelu over ALL channels AGAIN (double-gelu quirk, :142-146).
