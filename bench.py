@@ -124,6 +124,15 @@ def main() -> None:
                     help="fused whole-block Pallas inference path (measured "
                          "41.2k w/s vs 37.8k XLA at batch 512 bf16; "
                          "--no-fast for the plain XLA path)")
+    ap.add_argument("--chain", type=int, default=8,
+                    help="forwards chained inside ONE jit call via "
+                         "lax.fori_loop (output feeds the next input — "
+                         "same shapes). Measures steady-state CHIP "
+                         "throughput like the --train epoch scan does; "
+                         "per-call host<->device transfers through this "
+                         "image's remote-TPU tunnel (~240 MB/s) otherwise "
+                         "dominate at >=1 MB batches. --chain 1 = the old "
+                         "per-dispatch measurement.")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="measure TRAINING throughput (jitted whole-epoch "
@@ -202,15 +211,27 @@ def main() -> None:
 
         mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-        @jax.jit
-        def fwd(batch):
+        def fwd_body(batch):
             return apply_fast(variables, batch, variant="full",
                               mm_dtype=mm_dtype)
     else:
 
+        def fwd_body(batch):
+            # Cast keeps the chained fori_loop carry type stable (a bf16
+            # model returns bf16; the fused path already returns x.dtype).
+            return model.apply(variables, batch, train=False).astype(batch.dtype)
+
+    K = max(args.chain, 1)
+    if K > 1:
+        # Chain K data-dependent forwards inside one jit call (the model is
+        # shape-preserving, so each output feeds the next input): the chip
+        # runs K back-to-back forwards per dispatch, amortising the per-call
+        # transfer/latency exactly like the --train whole-epoch scan.
         @jax.jit
         def fwd(batch):
-            return model.apply(variables, batch, train=False)
+            return jax.lax.fori_loop(0, K, lambda i, v: fwd_body(v), batch)
+    else:
+        fwd = jax.jit(fwd_body)
 
     jax.block_until_ready(fwd(x))  # compile + warmup
     jax.device_get(fwd(x)[:1, :1, :1])
@@ -219,7 +240,7 @@ def main() -> None:
         out = fwd(x)
     # Hard sync: host round-trip of a slice of the LAST output (see --train).
     jax.device_get(out[:1, :1, :1])
-    dt = (time.time() - t0) / args.iters
+    dt = (time.time() - t0) / args.iters / K
     wps = args.batch / dt
 
     baseline = (
