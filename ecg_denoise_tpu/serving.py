@@ -67,7 +67,12 @@ class Denoiser:
                                   mm_dtype=mm_dtype)
 
         else:
-            self.inference_path = f"xla:{jax.default_backend()}"
+            # Measured fastest serving config on v5e (bench_explore, round
+            # 2): the model with use_pallas=True (fused-attention kernel,
+            # everything else XLA) at large batch — 55.3k windows/s vs
+            # 40.5k whole-stage-fused and 35.0k plain XLA at batch 2048.
+            attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
+            self.inference_path = f"xla{attn}:{jax.default_backend()}"
 
             @partial(jax.jit, static_argnums=())
             def fwd(batch):
