@@ -13,7 +13,11 @@ high_level_enhence=True, eval(), no_grad, batch 32, best of 5):
 Our measurement: jitted forward (inference path) of
 ecg_denoise_tpu.models.RaleNet('full') at batch BATCH on the default JAX
 platform (the driver runs this on one real TPU chip), steady-state over
-ITERS iterations after warmup, block_until_ready timing.
+ITERS iterations after warmup. Timing hard-syncs with a host device_get
+(block_until_ready is not a reliable fence through this image's remote-TPU
+tunnel) and chains --chain forwards inside one jit call so per-call tunnel
+transfers don't masquerade as chip time. Default path: the fused-attention
+Pallas kernel at batch 2048 (measured fastest; see --use-pallas/--fast).
 """
 
 from __future__ import annotations
@@ -114,16 +118,25 @@ def measure_torch_baseline(batch: int = 32, iters: int = 5) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None,
-                    help="default: 512 inference / 32 training (the "
-                         "reference's training batch, for a fair baseline)")
+                    help="default: 2048 inference (throughput plateau) / "
+                         "32 training (the reference's batch, for a fair "
+                         "baseline)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="fused-attention Pallas kernel inside the XLA "
+                         "model — the measured-fastest path BOTH ways "
+                         "(fwd 55.3k w/s @2048 vs 35.0k plain XLA; train "
+                         "16.0k @32 / 20.4k @256 vs 14.5k/16.6k XLA). "
+                         "Default: on for inference, off for training "
+                         "(the training CLI default is the XLA path the "
+                         "parity experiment certified).")
     ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="fused whole-block Pallas inference path (measured "
-                         "41.2k w/s vs 37.8k XLA at batch 512 bf16; "
-                         "--no-fast for the plain XLA path)")
+                    default=False,
+                    help="fused whole-STAGE Pallas inference path "
+                         "(measured 40.5k w/s @2048 — beats plain XLA's "
+                         "35.0k, loses to --use-pallas's 55.3k)")
     ap.add_argument("--chain", type=int, default=8,
                     help="forwards chained inside ONE jit call via "
                          "lax.fori_loop (output feeds the next input — "
@@ -143,10 +156,12 @@ def main() -> None:
                          "bwd) instead of the XLA autodiff path")
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 32 if args.train else 512
+        args.batch = 32 if args.train else 2048
+    if args.use_pallas is None:
+        args.use_pallas = not args.train and not args.fast
     if args.use_pallas:
-        # --use-pallas measures the attention-only kernel through the
-        # standard model; the fused whole-block path would shadow it.
+        # The attention kernel runs through the standard model; the fused
+        # whole-stage path would shadow it.
         args.fast = False
 
     import jax
@@ -192,7 +207,8 @@ def main() -> None:
         flops = 3.0 * ralenet_flops_per_window() * n  # bwd ~= 2x fwd
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
-            "path": "pallas-fused" if args.fast_train else "xla",
+            "path": ("pallas-fused" if args.fast_train
+                     else "attn-pallas" if args.use_pallas else "xla"),
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
             "vs_baseline": round(wps / TORCH_CPU_TRAIN_BASELINE_WPS, 2),
@@ -254,6 +270,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ralenet_full_fwd_throughput",
+                "path": ("attn-pallas" if args.use_pallas
+                         else "pallas-fused" if args.fast else "xla"),
                 "value": round(wps, 1),
                 "unit": "windows/sec/chip",
                 "vs_baseline": round(wps / baseline, 2),

@@ -218,15 +218,20 @@ def _block_math(x, pe, bias_f, w, *, num_heads: int, mm_dtype):
     if cw is not None:
         # PartialConv with n_div == hidden: ONLY channel 0 is convolved
         # (k=3, pad=1, no bias; reference transformer.py:144). The +-1
-        # shifts are roll+mask rather than pad+slice: the slice-of-pad VJP
-        # lowers to a negative-size pad Mosaic rejects ("vector types must
-        # have positive constant sizes"), while roll's VJP is a roll and
-        # where's is a where — both lower cleanly in fwd AND bwd kernels.
+        # shifts run as matmuls with constant 0/1 shift matrices: pad+slice
+        # VJPs lower to negative-size pads Mosaic rejects, and roll/concat
+        # formulations hit "offset mismatch on non-concat dimension" at
+        # large G — dot_general is the one shift whose forward AND
+        # transpose lower robustly (and zero-fills both boundaries, exactly
+        # the conv's pad=1 semantics). Cost is a (G,L)x(L,L) MXU matmul.
         c0 = f[:, :, 0]  # (G, L)
-        col = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 1)
-        left = jnp.where(col > 0, jnp.roll(c0, 1, axis=1), 0.0)
-        right = jnp.where(col < L - 1, jnp.roll(c0, -1, axis=1), 0.0)
-        c0 = cw[0] * left + cw[1] * c0 + cw[2] * right
+        sh = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+              - jax.lax.broadcasted_iota(jnp.int32, (L, L), 1))
+        shift = lambda m: jax.lax.dot_general(
+            c0, (sh == m).astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c0 = cw[0] * shift(-1) + cw[1] * c0 + cw[2] * shift(1)
         f = jnp.concatenate([c0[:, :, None], f[:, :, 1:]], axis=-1)
         # ... then gelu over ALL channels AGAIN (double-gelu quirk, :142-146).
         f = _gelu_exact(f)
