@@ -85,6 +85,12 @@ class Denoiser:
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
                         fast: Optional[str] = None, mm_dtype=jnp.bfloat16):
+        if use_pallas and jax.default_backend() != "tpu":
+            # Same loud fallback as fast=: the attention kernel is a
+            # Mosaic (TPU) program.
+            print(f"[serving] use_pallas requested but backend is "
+                  f"'{jax.default_backend()}' — using the standard XLA path")
+            use_pallas = False
         model = build_model(name_or_index, use_pallas=use_pallas,
                             dtype=dtype or jnp.float32)
         state, _ = create_train_state(
