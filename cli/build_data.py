@@ -30,6 +30,10 @@ def main():
                    help="dir containing mit-bih-*-1.0.0 subdirs (optional)")
     p.add_argument("--n_synth_records", type=int, default=8)
     p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--pvc_prob", type=float, default=0.15,
+                   help="fraction of synthetic beats with ventricular (PVC) "
+                        "morphology (dict_data/external builders; real "
+                        "records ignore this)")
     p.add_argument("--cls", action="store_true", help="build cls_data beat cache")
     p.add_argument("--external", action="store_true",
                    help="build the 12-lead ExternalData cache")
@@ -49,10 +53,11 @@ def main():
     if args.external:
         out = args.out or "./ExternalData/dict_data"
         info = build_dict_data(out, None, args.n_synth_records, args.seed,
-                               n_channels=12)
+                               n_channels=12, pvc_prob=args.pvc_prob)
     else:
         out = args.out or "./data/dict_data"
-        info = build_dict_data(out, args.data_root, args.n_synth_records, args.seed)
+        info = build_dict_data(out, args.data_root, args.n_synth_records,
+                               args.seed, pvc_prob=args.pvc_prob)
     print(f"built {info['n_windows']} windows in {info['out_dir']}")
 
 
