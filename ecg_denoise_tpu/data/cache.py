@@ -66,8 +66,12 @@ def load_source_records(data_root: str | None, n_synth_records: int, seed: int,
                     noises[kind] = wfdb_io.rdrecord_digital(p).astype(np.float64)
     if not ecgs or len(noises) < 3:
         ecgs = [
+            # Multi-lead records use the FIXED anatomical lead profile —
+            # per-record random lead signs make the 12->2 transfer adapter
+            # unlearnable (synth._LEAD_SIGNS rationale).
             synth.synth_ecg_record(seed + i, n_channels=n_channels,
-                                   pvc_prob=pvc_prob)
+                                   pvc_prob=pvc_prob,
+                                   fixed_leads=(n_channels > 2))
             for i in range(n_synth_records)
         ]
         noises = {

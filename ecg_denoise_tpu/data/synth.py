@@ -47,9 +47,21 @@ _PQRST_V = [
 ]
 
 
+# Fixed per-lead projection for MULTI-lead (12-lead) records: real ECG
+# lead geometry is anatomically FIXED across patients/records (a LUDB lead
+# III always has the same polarity convention), so a 12-lead generator must
+# NOT redraw channel signs per record — a per-record random sign flip makes
+# any shared lead-mixing adapter (the 12->2 frozen-core transfer head,
+# reference Transfer_learning.py) mathematically unlearnable. Values chosen
+# to span the diversity the old random draw produced, but CONSTANT.
+_LEAD_SIGNS = [1.0, 1.0, 0.6, -0.5, 1.0, 0.6, -0.5, 1.0, 0.6, 1.0, -0.5, 0.6]
+_LEAD_SCALES = [1.0, 0.9, 1.2, 0.8, 1.1, 0.7, 1.3, 1.0, 0.85, 1.15, 0.75, 1.25]
+
+
 def synth_ecg_record(seed: int, length: int = RECORD_LEN,
                      n_channels: int = N_CHANNELS,
-                     pvc_prob: float = 0.0) -> np.ndarray:
+                     pvc_prob: float = 0.0,
+                     fixed_leads: bool = False) -> np.ndarray:
     """Generate a synthetic 2-lead ECG record, shape (length, n_channels).
 
     pvc_prob > 0 replaces that fraction of beats with ventricular (PVC)
@@ -96,8 +108,18 @@ def synth_ecg_record(seed: int, length: int = RECORD_LEN,
                 sig[lo:hi, ch] += a * np.exp(-0.5 * (tt / width) ** 2)
 
     for ch in range(n_channels):
-        ch_scale = rng.uniform(0.7, 1.3)
-        ch_sign = 1.0 if ch == 0 else rng.choice([1.0, 0.6, -0.5])
+        if fixed_leads:
+            # Fixed anatomical lead profile (see _LEAD_SIGNS note); the
+            # per-record draws are still CONSUMED so the beat-jitter stream
+            # stays aligned with the fixed_leads=False layout.
+            rng.uniform(0.7, 1.3)
+            if ch != 0:
+                rng.choice([1.0, 0.6, -0.5])
+            ch_scale = _LEAD_SCALES[ch % len(_LEAD_SCALES)]
+            ch_sign = _LEAD_SIGNS[ch % len(_LEAD_SIGNS)]
+        else:
+            ch_scale = rng.uniform(0.7, 1.3)
+            ch_sign = 1.0 if ch == 0 else rng.choice([1.0, 0.6, -0.5])
         # N beats draw from the original stream (order preserved: the jitter
         # vector is still drawn for every beat), V beats from vrng.
         add_beats(ch, _PQRST, ~is_v, ch_scale, ch_sign, rng)
