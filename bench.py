@@ -53,18 +53,24 @@ def ralenet_flops_per_window(depth: int = 2, mlp_ratio: float = 4.0) -> float:
     cost model. Per TransformerBlock at (N, C): qkv 6NC^2 + proj 2NC^2 +
     full-length attention 4N^2C + MLP 2*2*N*C*(ratio*C); the LeFF partial
     conv touches a 1/hidden channel slice (negligible). Stage dims per
-    models/ralenet.py: enc (256,8)(128,16)(64,32)(32,64), bottleneck
-    (16,128), dec mirror; PatchMerging/Separate are thin Dense layers.
+    models/ralenet.py: enc (256,8)(128,16)(64,32)(32,64), bottleneck AND
+    utransformer4 both at (16,128), dec (32,64)(64,32)(128,16) — the
+    decoder runs at POST-merge dims, so (256,8) appears only once (a naive
+    enc*2 mirror over-counted total FLOPs by ~8%). PatchMerging/Separate
+    are thin Dense layers.
     """
     def block(n, c):
         return (8 + 4 * mlp_ratio) * n * c * c + 4 * n * n * c
 
-    stages = [(256, 8), (128, 16), (64, 32), (32, 64)]
+    enc = [(256, 8), (128, 16), (64, 32), (32, 64)]
+    dec = [(32, 64), (64, 32), (128, 16)]
     f = 0.0
-    for n, c in stages:
-        f += depth * block(n, c) * 2  # encoder + decoder mirror
+    for n, c in enc:
+        f += depth * block(n, c)
         f += 4 * n * c * c            # PatchMerging Dense(2C->2C) at N/2
         f += 2 * n * c * c            # PatchSeparate Dense(C->C/2) at 2N
+    for n, c in dec:
+        f += depth * block(n, c)
     f += 2 * depth * block(16, 128)   # bottleneck + utransformer4
     f += 2 * 256 * 3 * 2 * 8 * 2      # conv stem + head (k=3, 2<->8 ch)
     return f

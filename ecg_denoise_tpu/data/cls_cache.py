@@ -36,8 +36,13 @@ FILES = {
 }
 
 
-WINDOW = 256
-STRETCH = WINDOW * 32  # the dict_data stretch length (data/cache.py)
+# Single source: the whole point of this cache is distribution alignment
+# with the dict_data pipeline, so its window/stretch geometry must be the
+# SAME constants — a silent divergence here regresses the downstream-
+# utility benchmark to its round-1 degenerate state.
+from ecg_denoise_tpu.data.cache import STRETCH_WINDOWS, WINDOW
+
+STRETCH = WINDOW * STRETCH_WINDOWS  # the dict_data stretch length
 
 
 def _annotated_records(data_root, seed: int):

@@ -108,10 +108,12 @@ def resolve_split(
         with open(split_file) as f:
             d = json.load(f)
         tr, te = np.asarray(d["train"], np.int64), np.asarray(d["test"], np.int64)
-        if tr.size and max(tr.max(), te.max() if te.size else 0) >= n_total:
+        both = np.concatenate([tr, te])
+        if both.size and (both.min() < 0 or both.max() >= n_total):
             raise ValueError(
-                f"split file {split_file} indexes beyond the dataset "
-                f"({n_total} windows) — built for a different cache?"
+                f"split file {split_file} holds out-of-range indices for "
+                f"this dataset ({n_total} windows) — built for a different "
+                f"cache?"
             )
         return tr, te
     tr, te = sample_and_split(n_total, n_select, seed=seed)

@@ -123,7 +123,13 @@ def rdann(record_path: str, ext: str = "atr"):
             break
         if code == _SKIP:
             if interval == 0 and i + 1 < n:
-                t += (int(words[i]) << 16) | int(words[i + 1])
+                # The 32-bit SKIP interval is SIGNED in the WFDB C
+                # reference (annot(5) 'long' — negative skips move time
+                # backwards); reconstruct via two's complement.
+                skip = (int(words[i]) << 16) | int(words[i + 1])
+                if skip >= 1 << 31:
+                    skip -= 1 << 32
+                t += skip
                 i += 2
             # (a nonzero-interval SKIP advances time like an annotation
             # but emits nothing)

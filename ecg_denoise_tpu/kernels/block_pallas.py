@@ -68,10 +68,8 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
-def _softmax_f32(logits):
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+# Shared numerics-critical helper: one definition for both kernel modules.
+from ecg_denoise_tpu.kernels.attention_pallas import _softmax_f32  # noqa: E402
 
 
 def _mm(a, b, mm_dtype):

@@ -70,6 +70,13 @@ def fit(
     if resume_path:
         state = load_checkpoint(resume_path, state)
 
+    if mesh is not None and fast_variant:
+        # The fused-layer pallas_calls have no SPMD partitioning rule; a
+        # sharded batch would either be rejected by the partitioner or
+        # silently replicated, defeating the mesh. Fail fast instead.
+        raise ValueError("fast_variant (fused Pallas training) cannot be "
+                         "combined with a mesh; drop --fast_train or the "
+                         "--n_data/--n_model flags")
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import (
             replicate_state,

@@ -172,6 +172,22 @@ def test_atr_skips_aux_and_field_words(tmp_path):
     assert sym == ["N", "V"]
 
 
+def test_atr_negative_skip_roundtrip(tmp_path):
+    """The 32-bit SKIP interval is SIGNED in the WFDB C reference: wrann
+    encodes backward-in-time annotations via a negative two's-complement
+    skip, which rdann must reconstruct as negative (it previously read the
+    word pair unsigned, teleporting the annotation to t~4.29e9)."""
+    from ecg_denoise_tpu.data.wfdb_io import rdann, wrann
+
+    p = str(tmp_path / "rec")
+    samples = [100, 50, 2000]  # out-of-order -> negative delta at index 1
+    symbols = ["N", "V", "N"]
+    wrann(p, samples, symbols)
+    got_s, got_sym = rdann(p)
+    np.testing.assert_array_equal(got_s, samples)
+    assert got_sym == symbols
+
+
 def test_annotated_synth_record_has_both_classes():
     from ecg_denoise_tpu.data.synth import synth_ecg_record_annotated
 
