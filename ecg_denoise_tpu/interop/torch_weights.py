@@ -230,9 +230,13 @@ def _block_params(tblock, local_enhence):
 
 
 def _basic_layer(tlayer, local_enhence):
+    # transformer.py wraps blocks in BasicLayer(.blocks ModuleList);
+    # raletransformer.py (the nra model) uses bare nn.Sequential stages
+    # (reference raletransformer.py:573-634) — index directly there.
+    blocks = getattr(tlayer, "blocks", tlayer)
     return {
-        f"blocks_{j}": _block_params(tlayer.blocks[j], local_enhence)
-        for j in range(len(tlayer.blocks))
+        f"blocks_{j}": _block_params(blocks[j], local_enhence)
+        for j in range(len(blocks))
     }
 
 

@@ -53,6 +53,12 @@ def fit(
     r_pos_mode: Optional[str] = None,
     fast_variant: Optional[str] = None,
 ):
+    # On a multi-host mesh every process runs fit() in lockstep; only
+    # process 0 may touch shared storage (checkpoints, output.txt) or
+    # print, otherwise P hosts race on the same paths and duplicate every
+    # result line (advisor r2 medium finding). Single-process: index 0.
+    is_primary = jax.process_index() == 0
+    verbose = verbose and is_primary
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     sample = jnp.asarray(train_noisy[:2])
@@ -127,13 +133,13 @@ def fit(
                 f"train_snr={train_metrics['snr']:.3f} test_snr={test_metrics['snr']:.3f} "
                 f"test_rmse={test_metrics['rmse']:.4f} ({dt:.1f}s)"
             )
-        if (epoch + 1) % checkpoint_every == 0:
+        if (epoch + 1) % checkpoint_every == 0 and is_primary:
             path = checkpoint_path(model_save_dir, model_name, epoch, noise_name, noise_intensity)
             save_checkpoint(path, state)
             if verbose:
                 print(f"saved {path}")
 
-    if output_file:
+    if output_file and is_primary:
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
         with open(output_file, "a") as f:
             # Reference format (denoise_train.py:100-101).

@@ -1,6 +1,17 @@
 #!/usr/bin/env bash
 # Round-2 measurement session: on-chip kernel tests + the full bench matrix.
 # Runs after the retrain queue so the chip is free and checkpoints are fresh.
+#
+# HISTORICAL NOTE: these invocations predate the same-diff change of
+# bench.py defaults (--fast now defaults OFF, --use-pallas ON for
+# inference, batch 2048). As written today, `run --no-fast` measures the
+# attention-pallas path, not plain XLA. To reproduce the published round-2
+# matrix with current bench.py, the rows are:
+#   plain XLA:        bench.py --no-use-pallas --no-fast [--batch N]
+#   whole-stage fused: bench.py --fast [--batch N]
+#   attention kernel:  bench.py [--batch N]          (the default)
+#   training XLA:      bench.py --train --no-use-pallas
+#   training kernel:   bench.py --train --use-pallas
 cd /root/repo
 mkdir -p runs
 set -u

@@ -64,6 +64,29 @@ def test_ralenet_forward_parity(variant, model_index):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_ralenet_nra_forward_parity():
+    """Identical weights -> identical outputs for the NO-R-wave-attention
+    model (reference model/raletransformer.py:559 ralenet — the one family
+    member round 2 left without a weight-transfer oracle). Its quirks vs
+    transformer.py: `Mlp` defaults local_enhence=True (raletransformer.py:118)
+    so every block carries the LeFF partial conv, and there are no rwattn
+    bias tables at all (the mask-no-op MSAttention branch at :304-307 is
+    never taken since no mask is ever passed)."""
+    from ecg_denoise_tpu.models import RaleNet
+
+    torch.manual_seed(0)
+    tm = tw.build_reference_model(2)
+    tm.eval()
+    variables = tw.variables_from_torch_model(2, tm)
+
+    x = np.random.default_rng(5).standard_normal((2, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    model = RaleNet(variant="nra")
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_danet_forward_parity():
     from ecg_denoise_tpu.models import Seq2Seq2
 
