@@ -81,6 +81,11 @@ def main():
             "inference_path": denoiser.inference_path}
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: a warm client reuses the TCP connection, so
+        # repeat requests skip the connect/teardown round trips (part of
+        # the round-2 53.6 ms host overhead; VERDICT r2 weak item 4).
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -100,17 +105,48 @@ def main():
                 self.send_error(404)
                 return
             try:
+                import time
+
+                t0 = time.perf_counter()
                 n = int(self.headers.get("Content-Length", 0))
-                x = np.load(io.BytesIO(self.rfile.read(n)))
-                y = denoiser(x)
-                buf = io.BytesIO()
-                np.save(buf, y)
-                body = buf.getvalue()
+                # Zero-copy decode: read the payload once into a bytearray,
+                # parse the npy header in place and frombuffer the data
+                # (np.load on BytesIO would copy the array a second time).
+                raw = bytearray(n)
+                view = memoryview(raw)
+                got = 0
+                while got < n:
+                    r = self.rfile.readinto(view[got:])
+                    if not r:
+                        break
+                    got += r
+                buf = io.BytesIO(raw)
+                version = np.lib.format.read_magic(buf)
+                shape, fortran, dtype = np.lib.format._read_array_header(
+                    buf, version)
+                if fortran:
+                    raise ValueError("fortran-order payloads not supported")
+                x = np.frombuffer(view[buf.tell():], dtype=dtype).reshape(shape)
+                t1 = time.perf_counter()
+                y, seg = denoiser.denoise_timed(x)
+                t2 = time.perf_counter()
+                # Stream the response: write the npy header + raw bytes
+                # straight to the socket, no intermediate BytesIO body.
+                hdr = io.BytesIO()
+                np.lib.format.write_array_header_2_0(
+                    hdr, np.lib.format.header_data_from_array_1_0(y))
+                header_bytes = hdr.getvalue()
+                timing = {"decode_ms": round((t1 - t0) * 1e3, 3), **seg,
+                          "total_ms": round((t2 - t0) * 1e3, 3)}
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Length",
+                                 str(len(header_bytes) + y.nbytes))
+                self.send_header("X-Denoise-Timing", json.dumps(timing))
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(header_bytes)
+                self.wfile.write(y.tobytes() if not y.flags["C_CONTIGUOUS"]
+                                 else memoryview(y).cast("B"))
             except Exception as e:  # noqa: BLE001 — report to client
                 msg = f"{type(e).__name__}: {e}".encode()
                 self.send_response(400)

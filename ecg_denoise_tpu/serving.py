@@ -46,6 +46,12 @@ class Denoiser:
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
+        import threading
+
+        self._staging = {}  # per-bucket persistent padding buffers
+        # One chip, shared staging buffers: serialize calls (the HTTP
+        # front-end is threaded).
+        self._lock = threading.Lock()
 
         if fast is not None and jax.default_backend() != "tpu":
             # The fused-layer kernels are Mosaic (TPU) programs; fall back
@@ -101,22 +107,61 @@ class Denoiser:
         return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
+        return self.denoise_timed(x)[0]
+
+    def denoise_timed(self, x: np.ndarray):
+        """Denoise + per-segment host timing breakdown (ms).
+
+        Segments: pad (bucket copy), dispatch (H2D + enqueue — returns as
+        soon as the async call is in flight), fetch (block for compute +
+        D2H; through the remote-TPU tunnel this includes the tunnel round
+        trip, which host timing cannot split further).
+        """
+        import time
+
         x = np.asarray(x, np.float32)
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
         n = x.shape[0]
         out = np.empty_like(x)
+        t = {"pad_ms": 0.0, "dispatch_ms": 0.0, "fetch_ms": 0.0}
+        with self._lock:
+            self._denoise_into(x, out, n, t)
+        t = {k: round(v, 3) for k, v in t.items()}
+        return (out[0] if squeeze else out), t
+
+    def _denoise_into(self, x, out, n, t):
+        import time
+
         i = 0
         while i < n:
             chunk = x[i : i + self.max_batch]
-            b = _bucket(chunk.shape[0], self.max_batch)
-            padded = np.zeros((b, *x.shape[1:]), np.float32)
-            padded[: chunk.shape[0]] = chunk
-            y = np.asarray(self._fwd(jnp.asarray(padded)))
-            out[i : i + chunk.shape[0]] = y[: chunk.shape[0]]
-            i += chunk.shape[0]
-        return out[0] if squeeze else out
+            m = chunk.shape[0]
+            b = _bucket(m, self.max_batch)
+            t0 = time.perf_counter()
+            if m == b:
+                padded = chunk  # full bucket: no copy at all
+            else:
+                # Persistent per-bucket staging buffer: zero once, reuse
+                # (only the tail beyond m may hold stale data from a larger
+                # previous request — rezero just that slice).
+                padded = self._staging.get(b)
+                if padded is None or padded.shape[1:] != x.shape[1:]:
+                    padded = np.zeros((b, *x.shape[1:]), np.float32)
+                    self._staging[b] = padded
+                else:
+                    padded[m:] = 0.0
+                padded[:m] = chunk
+            t1 = time.perf_counter()
+            y_dev = self._fwd(padded)  # jit handles H2D; async dispatch
+            t2 = time.perf_counter()
+            np.copyto(out[i : i + m], np.asarray(y_dev)[:m])  # sync point
+            t3 = time.perf_counter()
+            t["pad_ms"] += (t1 - t0) * 1e3
+            t["dispatch_ms"] += (t2 - t1) * 1e3
+            t["fetch_ms"] += (t3 - t2) * 1e3
+            i += m
 
     def warmup(self, channels: int = 2, length: int = 256,
                limit: Optional[int] = None) -> None:
