@@ -62,6 +62,19 @@ def _bmm(a, b, contract, batch=((0,), (0,))):
 _MAX_PADDED = 768 * 1024
 
 
+def _max_padded() -> int:
+    """VMEM working-set budget in padded f32 elements (see _MAX_PADDED).
+
+    Overridable via ECG_ATTN_VMEM_BUDGET for on-chip sweeps: the round-3
+    iso profile measured ~5us of fixed per-grid-step cost dominating every
+    stage, so throughput is nearly proportional to G until VMEM runs out.
+    """
+    import os
+
+    v = os.environ.get("ECG_ATTN_VMEM_BUDGET")
+    return int(v) if v else _MAX_PADDED
+
+
 def _padded_hll(H: int, L: int) -> int:
     sub = -(-L // 8) * 8
     lane = max(L, 128)
@@ -75,8 +88,9 @@ def _group_size(B: int, H: int, L: int) -> int:
     that dominate at these tiny head sizes (L<=256, D=4): measured on v5e,
     per-(b,h) grid 7.3k w/s -> per-b 19.3k w/s -> grouped better still.
     """
-    for g in (64, 32, 16, 8, 4, 2, 1):
-        if B % g == 0 and g * _padded_hll(H, L) <= _MAX_PADDED:
+    budget = _max_padded()
+    for g in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if B % g == 0 and g * _padded_hll(H, L) <= budget:
             return g
     return 1
 
@@ -147,8 +161,78 @@ def _bias_spec(H, L):
                         memory_space=pltpu.VMEM)
 
 
+# Off-diagonal-block logit penalty for lane packing. exp(-1e9 - max) == 0
+# in f32, so packed windows can never attend across block boundaries.
+_NEG_INF = -1e9
+
+
+def _pack_factor(B: int, H: int, L: int) -> int:
+    """Lane-packing factor P: merge P heads into one (P*L, P*L) block-diag
+    attention so small-L stages use full 128-lane MXU tiles.
+
+    The round-3 profile (runs/profile_fwd_2048.log) showed the L<=64 stages
+    dominating attention time INVERSELY to their FLOPs: an (L, L) logits
+    tile at L=16 pads 16 -> 128 lanes, wasting 8x of every tile and 8x of
+    the VMEM working set per useful element. Packing P = 128//L heads
+    block-diagonally makes every matmul tile dense; the off-diagonal cross
+    terms are computed (they ride in otherwise-padded lanes) and killed by
+    a -1e9 additive mask before softmax.
+    """
+    import os
+
+    if os.environ.get("ECG_ATTN_PACK", "1") == "0":  # A/B escape hatch
+        return 1
+    if L >= 128 or L & (L - 1):  # pack only power-of-two small L
+        return 1
+    P = min(128 // L, H)
+    while P > 1 and H % P:
+        P //= 2
+    return P
+
+
+def _block_diag_bias(bias, H: int, L: int, P: int):
+    """(H, L, L) bias (or None) -> (H//P, P*L, P*L) block-diagonal bias
+    with _NEG_INF off the diagonal blocks (the packing mask)."""
+    if bias is None:
+        b = jnp.zeros((H // P, P, L, L), jnp.float32)
+    else:
+        b = bias.reshape(H // P, P, L, L).astype(jnp.float32)
+    vals = b[:, :, :, None, :]  # (H/P, P, L, 1, L)
+    eye = jnp.eye(P, dtype=bool)[None, :, None, :, None]  # (1,P,1,P,1)
+    out = jnp.where(eye, vals, _NEG_INF)  # (H/P, P, L, P, L)
+    return out.reshape(H // P, P * L, P * L)
+
+
+def _unpack_dbias(dbias, H: int, L: int, P: int):
+    """Extract the diagonal blocks of a packed (H//P, P*L, P*L) bias grad
+    back into (H, L, L)."""
+    d = dbias.reshape(H // P, P, L, P, L)
+    idx = jnp.arange(P)
+    d = d[:, idx, :, idx, :]  # advanced indexing -> (P, H//P, L, L)
+    return d.transpose(1, 0, 2, 3).reshape(H, L, L)
+
+
+def _pack(a, B, H, L, D, P):
+    # (B, H, L, D) -> (B, H//P, P*L, D): contiguous reshape, free in XLA.
+    return a.reshape(B, H // P, P * L, D)
+
+
 def _fwd(q, k, v, bias):
     B, H, L, D = q.shape
+    P = _pack_factor(B, H, L)
+    if P > 1:
+        Hp, Lp = H // P, P * L
+        qp, kp, vp = (_pack(a, B, H, L, D, P) for a in (q, k, v))
+        bp = _block_diag_bias(
+            bias.reshape(H, L, L) if bias is not None else None, H, L, P)
+        out = _fwd_raw(qp, kp, vp, bp, Hp, Lp)
+        return out.reshape(B, H, L, D)
+    return _fwd_raw(q, k, v,
+                    bias.reshape(H, L, L) if bias is not None else None, H, L)
+
+
+def _fwd_raw(q, k, v, bias, H, L):
+    B, _, _, D = q.shape
     has_bias = bias is not None
     kernel = _fwd_kernel if has_bias else (
         lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, None, orf)
@@ -157,7 +241,7 @@ def _fwd(q, k, v, bias):
     in_specs = [_elem_spec(G, H, D, L)] * 3 + ([_bias_spec(H, L)] if has_bias else [])
     # (B, H, L, D) -> (B, H, D, L): lane dim becomes L (see _fwd_kernel note).
     qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (q, k, v))
-    args = (qt, kt, vt) + ((bias.reshape(H, L, L),) if has_bias else ())
+    args = (qt, kt, vt) + ((bias,) if has_bias else ())
     out = pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -176,20 +260,48 @@ def _fwd(q, k, v, bias):
 
 def _bwd(q, k, v, bias, g):
     B, H, L, D = q.shape
+    P = _pack_factor(B, H, L)
+    if P > 1:
+        Hp, Lp = H // P, P * L
+        qp, kp, vp, gp = (_pack(a, B, H, L, D, P) for a in (q, k, v, g))
+        bp = _block_diag_bias(
+            bias.reshape(H, L, L) if bias is not None else None, H, L, P)
+        # want_dbias: the packing mask is always passed as a kernel bias,
+        # but a bias gradient is only owed when the caller supplied one.
+        dq, dk, dv, dbias = _bwd_raw(qp, kp, vp, bp, gp, Hp, Lp,
+                                     want_dbias=bias is not None)
+        dq, dk, dv = (a.reshape(B, H, L, D) for a in (dq, dk, dv))
+        if dbias is not None:
+            dbias = _unpack_dbias(dbias, H, L, P).reshape(1, H, L, L).astype(
+                bias.dtype)
+        return dq, dk, dv, dbias
+    return _bwd_raw(q, k, v,
+                    bias.reshape(H, L, L) if bias is not None else None,
+                    g, H, L, want_dbias=bias is not None,
+                    dbias_dtype=bias.dtype if bias is not None else None)
+
+
+def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
+    B, _, _, D = q.shape
     has_bias = bias is not None
-    kernel = _bwd_kernel if has_bias else (
-        lambda qr, kr, vr, gr, dqr, dkr, dvr: _bwd_kernel(
+    if has_bias and want_dbias:
+        kernel = _bwd_kernel
+    elif has_bias:
+        kernel = lambda qr, kr, vr, br, gr, dqr, dkr, dvr: _bwd_kernel(  # noqa: E731
+            qr, kr, vr, br, gr, dqr, dkr, dvr, None
+        )
+    else:
+        kernel = lambda qr, kr, vr, gr, dqr, dkr, dvr: _bwd_kernel(  # noqa: E731
             qr, kr, vr, None, gr, dqr, dkr, dvr, None
         )
-    )
     G = _group_size(B, H, L)
     in_specs = [_elem_spec(G, H, D, L)] * 3 \
         + ([_bias_spec(H, L)] if has_bias else []) + [_elem_spec(G, H, D, L)]
     qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g))
-    args = (qt, kt, vt) + ((bias.reshape(H, L, L),) if has_bias else ()) + (gt,)
+    args = (qt, kt, vt) + ((bias,) if has_bias else ()) + (gt,)
     out_specs = [_elem_spec(G, H, D, L)] * 3
     out_shape = [jax.ShapeDtypeStruct((B, H, D, L), q.dtype)] * 3
-    if has_bias:
+    if has_bias and want_dbias:
         out_specs.append(_bias_spec(H, L))
         out_shape.append(jax.ShapeDtypeStruct((H, L, L), jnp.float32))
     outs = pl.pallas_call(
@@ -205,9 +317,10 @@ def _bwd(q, k, v, bias, g):
         ),
         interpret=_INTERPRET,
     )(*args)
-    if has_bias:
+    if has_bias and want_dbias:
         dq, dk, dv, dbias = outs
-        dbias = dbias.reshape(1, H, L, L).astype(bias.dtype)
+        if dbias_dtype is not None:
+            dbias = dbias.reshape(1, H, L, L).astype(dbias_dtype)
     else:
         dq, dk, dv = outs
         dbias = None

@@ -42,19 +42,72 @@ def _precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _dense_pack_factor(rows: int, c_in: int, c_out: int) -> int:
+    """Lane-packing factor for tiny Dense layers.
+
+    RA-LENet's channel widths (8..128) leave a (rows, C) x (C, C) matmul
+    using C/128 of each MXU tile in BOTH the contraction and lane dims
+    (SURVEY §7 "tiny-dims efficiency" risk; measured in the round-3
+    ablation profile: the non-attention forward runs at ~8% MFU). Packing
+    P row-groups against a block-diagonal kron(I_P, W) kernel makes the
+    matmul (rows/P, P*C) x (P*C, P*C): full 128-wide tiles, P times fewer
+    output tiles. The off-diagonal weight blocks are exact zeros, so the
+    result is bitwise identical (x*0.0 terms cannot perturb the
+    accumulation); only the tile economics change.
+    """
+    import os
+
+    if os.environ.get("ECG_DENSE_PACK", "1") == "0":  # A/B escape hatch
+        return 1
+    cmax = max(c_in, c_out, 1)
+    if cmax >= 128:
+        return 1
+    P = 128 // cmax
+    P = 1 << (P.bit_length() - 1)  # round down to a power of two
+    while P > 1 and rows % P:
+        P //= 2
+    return P
+
+
 class Dense(nn.Module):
-    """nn.Linear-compatible Dense (torch init, optional bias)."""
+    """nn.Linear-compatible Dense (torch init, optional bias).
+
+    lane_pack=True applies block-diagonal MXU packing for tiny feature
+    dims — see _dense_pack_factor. Parameter layout is unchanged
+    (checkpoints/interop unaffected) and results are bitwise identical.
+
+    MEASURED OFF by default (round-3 A/B, runs/r3_ab.log): on v5e at batch
+    2048 the packed model runs 16.8k w/s vs 55.2k unpacked — XLA's
+    physical layout lane-pads the C=8..64 activations, so the logical
+    (B*L, C) -> (B*L/P, P*C) pack/unpack reshapes are HBM relayouts
+    (lane shuffles) on every Dense boundary, and that traffic swamps the
+    8-16x tile-economics win. The same block-diagonal idea DOES pay
+    inside the attention kernel, where the relayout happens in VMEM
+    (kernels/attention_pallas.py _pack_factor).
+    """
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (in_features, self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    precision=_precision(self.dtype))
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        P = (_dense_pack_factor(rows, in_features, self.features)
+             if self.lane_pack else 1)
+        if P > 1:
+            kp = jnp.kron(jnp.eye(P, dtype=self.dtype), kernel.astype(self.dtype))
+            y = jnp.dot(x.reshape(rows // P, P * in_features).astype(self.dtype),
+                        kp, precision=_precision(self.dtype))
+            y = y.reshape(*x.shape[:-1], self.features)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        precision=_precision(self.dtype))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_features), (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

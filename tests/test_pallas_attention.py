@@ -35,8 +35,11 @@ def test_fused_attention_forward_parity(L, H, with_bias):
 
 
 @pytest.mark.parametrize("with_bias", [True, False])
-def test_fused_attention_grad_parity(with_bias):
-    B, H, L, D = 2, 4, 64, 4
+@pytest.mark.parametrize("L,H", [(64, 4), (16, 32), (256, 2)])
+def test_fused_attention_grad_parity(with_bias, L, H):
+    # L=64/H=4 packs P=2, L=16/H=32 packs P=8 (exercises the block-diag
+    # dbias extraction), L=256 takes the unpacked path.
+    B, D = 2, 4
     q, k, v = (_rand((B, H, L, D), i) for i in range(3))
     bias = _rand((1, H, L, L), 7) if with_bias else None
 
