@@ -191,6 +191,10 @@ def main() -> None:
     ap.add_argument("--train", action="store_true",
                     help="measure TRAINING throughput (jitted whole-epoch "
                          "scan: fwd+bwd+Adam+metrics) instead of inference")
+    ap.add_argument("--r-pos", default=None, choices=["detect"],
+                    help="with --train: per-window detected R-peak biases "
+                         "(the paper's namesake feature; round 3 gave it a "
+                         "fused-kernel fast path — ops/attention.py RPosBias)")
     ap.add_argument("--fast-train", action="store_true",
                     help="with --train: route the train step through the "
                          "fused Pallas layer kernels (fwd + in-kernel-vjp "
@@ -239,6 +243,7 @@ def main() -> None:
         state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
         train_epoch, _ = make_epoch_fns(
             model, tx, donate=False,
+            detect_r_pos=args.r_pos == "detect",
             fast_variant="full" if args.fast_train else None,
             fast_mm_dtype=dtype if args.fast_train else None,
         )
@@ -261,6 +266,7 @@ def main() -> None:
         flops = 3.0 * ralenet_flops_per_window() * n  # bwd ~= 2x fwd
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
+            **({"r_pos": args.r_pos} if args.r_pos else {}),
             "path": ("pallas-fused" if args.fast_train
                      else "attn-pallas" if args.use_pallas else "xla"),
             "value": round(wps, 1),

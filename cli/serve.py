@@ -52,6 +52,11 @@ def main():
                    help="fused-attention kernel inside the XLA model — the "
                         "measured-fastest serving path on TPU (55.3k w/s "
                         "at batch 2048 vs 40.5k --fast / 35.0k plain)")
+    p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
+                   help="per-window R-peak-centred attention biases "
+                        "(RaleNet-family checkpoints with the rel-pos "
+                        "tables, i.e. ralenet/ralenet_mlp; +0.16 dB "
+                        "trained quality, fused-kernel fast path)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set "
                         "before first backend use — env vars are too late "
@@ -72,9 +77,18 @@ def main():
         fast = variant_by_model.get(args.model)
         if fast is None:
             print(f"--fast not available for {args.model}; using standard path")
+    r_pos = args.r_pos
+    if r_pos and args.model not in ("ralenet", "ralenet_mlp"):
+        print(f"--r_pos needs a rel-pos-bias model; ignored for {args.model}")
+        r_pos = None
+    if r_pos and fast:
+        print("--r_pos is not supported by the whole-stage --fast engine; "
+              "using the standard (or --use_pallas) path")
+        fast = None
     denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
                                         max_batch=args.max_batch, fast=fast,
-                                        use_pallas=args.use_pallas)
+                                        use_pallas=args.use_pallas,
+                                        r_pos=r_pos)
     if args.warmup_max:
         denoiser.warmup(limit=args.warmup_max)
     meta = {"model": args.model, "ckpt": args.ckpt,

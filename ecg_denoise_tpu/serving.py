@@ -42,7 +42,8 @@ class Denoiser:
     """
 
     def __init__(self, model, variables, max_batch: int = 1024,
-                 fast: Optional[str] = None, mm_dtype=jnp.bfloat16):
+                 fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
+                 r_pos: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -72,6 +73,22 @@ class Denoiser:
                 return apply_fast(variables, batch, variant=fast,
                                   mm_dtype=mm_dtype)
 
+        elif r_pos == "detect":
+            # Per-window R-peak-centred attention bias (the paper's
+            # namesake feature, +0.16 dB trained quality — RESULTS.md).
+            # Round 3 gave it a fused-kernel fast path (RPosBias
+            # descriptor), so serving it no longer falls back to the slow
+            # materialized-bias path.
+            from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
+
+            attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
+            self.inference_path = f"xla{attn}+rpos:{jax.default_backend()}"
+
+            @partial(jax.jit, static_argnums=())
+            def fwd(batch):
+                return model.apply(variables, batch, train=False,
+                                   r_pos=detect_r_peaks(batch))
+
         else:
             # Measured fastest serving config on v5e (bench_explore, round
             # 2): the model with use_pallas=True (fused-attention kernel,
@@ -90,7 +107,8 @@ class Denoiser:
     def from_checkpoint(cls, name_or_index, ckpt_path: str,
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
-                        fast: Optional[str] = None, mm_dtype=jnp.bfloat16):
+                        fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
+                        r_pos: Optional[str] = None):
         if use_pallas and jax.default_backend() != "tpu":
             # Same loud fallback as fast=: the attention kernel is a
             # Mosaic (TPU) program.
@@ -104,7 +122,8 @@ class Denoiser:
         )
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype)
+        return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype,
+                   r_pos=r_pos)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.denoise_timed(x)[0]

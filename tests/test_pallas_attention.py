@@ -34,6 +34,75 @@ def test_fused_attention_forward_parity(L, H, with_bias):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def _toep(L, W, H, key=11):
+    """Random Toeplitz bias from a (2W-1, H) table, zero for |l-m|>=W."""
+    table = _rand((2 * W - 1, H), key)
+    pos = jnp.arange(L)
+    rel = pos[:, None] - pos[None, :]
+    idx = jnp.clip(rel + W - 1, 0, 2 * W - 2)
+    return (table[idx] * (jnp.abs(rel) < W)[..., None]).transpose(2, 0, 1)[None]
+
+
+def _materialize_rpos(toep, offsets, W):
+    from ecg_denoise_tpu.ops.attention import RPosBias
+
+    return RPosBias(toep=toep, offsets=offsets, W=W).materialize()
+
+
+# Model stage shapes: (L, W, H) for encoder stages 1..4 (decoder mirrors).
+@pytest.mark.parametrize("L,W,H", [(256, 32, 2), (64, 8, 8), (32, 4, 16)])
+def test_fused_attention_rpos_forward_parity(L, W, H):
+    """Per-window R-peak kernel vs the materialized XLA bias, including
+    edge-truncating offsets (windows hanging off both ends)."""
+    B, D = 4, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    r_pos = jnp.asarray([0, 5, L // 2, L - 1], jnp.int32)
+    offsets = (r_pos - W // 2).astype(jnp.float32)
+    bias = _materialize_rpos(toep, offsets, W)
+    ref = multi_head_attention(q, k, v, bias)
+    out = ap.fused_attention_rpos(q, k, v, toep, W, offsets)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_attention_rpos_grad_parity():
+    B, H, L, D, W = 4, 16, 32, 4, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    offsets = (jnp.asarray([3, 10, 16, 30], jnp.int32) - W // 2).astype(
+        jnp.float32)
+
+    def loss_ref(q, k, v, toep):
+        bias = _materialize_rpos(toep, offsets, W)
+        return jnp.sum(multi_head_attention(q, k, v, bias) ** 2)
+
+    def loss_pal(q, k, v, toep):
+        return jnp.sum(ap.fused_attention_rpos(q, k, v, toep, W, offsets) ** 2)
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, toep)
+    g_pal = jax.grad(loss_pal, (0, 1, 2, 3))(q, k, v, toep)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_rpos_descriptor_matches_scalar_embed():
+    """RPosBias.materialize() must equal the scalar embed() path run per
+    window (the round-2 vmapped formulation), including edge truncation."""
+    from ecg_denoise_tpu.ops.attention import RelativePositionEmbedding
+
+    W, L, H = 8, 64, 2
+    mod = RelativePositionEmbedding(length=W, whole_length=L, num_heads=H)
+    table = _rand((2 * W - 1, H), 3)
+    variables = {"params": {"relative_position_bias_table": table}}
+    r_pos = jnp.asarray([0, 3, 32, 60, 63], jnp.int32)
+    desc = mod.apply(variables, r_pos)
+    got = desc.materialize()
+    for i, rp in enumerate(np.asarray(r_pos)):
+        want = mod.apply(variables, jnp.int32(rp))  # scalar path (1,H,L,L)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want[0]),
+                                   atol=1e-6, err_msg=f"r_pos={rp}")
+
+
 @pytest.mark.parametrize("with_bias", [True, False])
 @pytest.mark.parametrize("L,H", [(64, 4), (16, 32), (256, 2)])
 def test_fused_attention_grad_parity(with_bias, L, H):
@@ -54,3 +123,23 @@ def test_fused_attention_grad_parity(with_bias, L, H):
     g_pal = jax.grad(loss_pal, argnums)(q, k, v, bias)
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ralenet_per_window_rpos_pallas_vs_xla():
+    """Full RaleNet forward with PER-WINDOW r_pos: the use_pallas model
+    (fused rpos kernel, interpret mode) must match the XLA model."""
+    from ecg_denoise_tpu.models import RaleNet
+
+    x = _rand((4, 2, 256), 0)
+    r_pos = jnp.asarray([10, 100, 180, 250], jnp.int32)
+    m_x = RaleNet(variant="full")
+    variables = jax.jit(lambda: m_x.init(jax.random.PRNGKey(0), x, train=False))()
+    # Non-zero bias tables so the rpos path actually matters.
+    variables = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 2 and a.shape[-1] in (2, 4, 8, 16)
+        else a, variables)
+    ref = m_x.apply(variables, x, train=False, r_pos=r_pos)
+    m_p = RaleNet(variant="full", use_pallas=True)
+    out = m_p.apply(variables, x, train=False, r_pos=r_pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -134,3 +134,110 @@ def test_fused_layer_diff_bwd_on_chip():
     check(g_pl[1], g_ref[1], "dx")
     check(np.asarray(g_pl[2]).reshape(-1), np.asarray(g_ref[2]).reshape(-1),
           "dbias")
+
+
+# --- production-shape tier (VERDICT r2 weak item 5) -------------------------
+#
+# The tests above pin Mosaic lowering at toy shapes; the benches and
+# serving run at L=256 stages, batch buckets to 2048. These pin the
+# production shapes so a Mosaic regression there surfaces as a red test,
+# not a bad bench number. Shapes are constant for compile-cache reuse.
+
+
+def test_fused_attention_production_shapes_on_chip():
+    """Stage-1 (L=256, H=2) and the packed bottleneck shape (L=16, H=32)
+    at serving batch, f32 vs the XLA oracle."""
+    from ecg_denoise_tpu.kernels.attention_pallas import fused_attention
+
+    for (L, H) in ((256, 2), (16, 32)):
+        B, D = 256, 4
+        ks = jax.random.split(jax.random.PRNGKey(L), 4)
+        q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+        bias = 0.1 * jax.random.normal(ks[3], (1, H, L, L), jnp.float32)
+        got = jax.jit(fused_attention)(q, k, v, bias)
+        ref = jax.jit(_attention_oracle)(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"L={L} H={H}")
+
+
+def test_fused_attention_rpos_on_chip():
+    """Per-window R-peak kernel (round-3 fast path) at stage-1 and a
+    packed stage shape, fwd + bwd, Mosaic-compiled."""
+    from ecg_denoise_tpu.kernels.attention_pallas import fused_attention_rpos
+    from ecg_denoise_tpu.ops.attention import RPosBias
+
+    for (L, W, H) in ((256, 32, 2), (32, 4, 16)):
+        B, D = 256, 4
+        ks = jax.random.split(jax.random.PRNGKey(W), 5)
+        q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
+        table = 0.1 * jax.random.normal(ks[3], (2 * W - 1, H), jnp.float32)
+        pos = jnp.arange(L)
+        rel = pos[:, None] - pos[None, :]
+        idx = jnp.clip(rel + W - 1, 0, 2 * W - 2)
+        toep = (table[idx] * (jnp.abs(rel) < W)[..., None]).transpose(
+            2, 0, 1)[None]
+        r_pos = jax.random.randint(ks[4], (B,), 0, L)
+        offsets = (r_pos - W // 2).astype(jnp.float32)
+        cot = jax.random.normal(ks[4], (B, H, L, D), jnp.float32)
+
+        def loss_k(q, k, v, toep):
+            return jnp.sum(fused_attention_rpos(q, k, v, toep, W, offsets) * cot)
+
+        def loss_o(q, k, v, toep):
+            bias = RPosBias(toep=toep, offsets=offsets, W=W).materialize()
+            return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
+
+        vk, gk = jax.jit(jax.value_and_grad(loss_k, (0, 1, 2, 3)))(q, k, v, toep)
+        vo, go = jax.jit(jax.value_and_grad(loss_o, (0, 1, 2, 3)))(q, k, v, toep)
+        np.testing.assert_allclose(float(vk), float(vo), rtol=1e-4)
+        for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dtoep")):
+            got, ref = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            relerr = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
+            assert relerr < 1e-2, f"L={L}: {name} rel err {relerr:.2e}"
+
+
+def test_apply_fast_production_shape_on_chip():
+    """Whole-stage fused inference engine vs RaleNet.apply at the full
+    model production shape (batch 256, 2x256 windows), bf16 matmuls."""
+    from ecg_denoise_tpu.models import RaleNet
+    from ecg_denoise_tpu.models.ralenet_fast import apply_fast
+
+    model = RaleNet(variant="full")
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 2, 256), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:2],
+                                           train=False))()
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    got = jax.jit(lambda v, x: apply_fast(v, x, variant="full",
+                                          mm_dtype=jnp.bfloat16))(variables, x)
+    got, ref = np.asarray(got), np.asarray(ref)
+    # bf16 matmuls vs f32-param XLA: bf16-epsilon-scale gate on O(1) signals.
+    assert float(np.mean((got - ref) ** 2)) < 1e-4
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_use_pallas_train_step_on_chip():
+    """One jitted train step through the attention-kernel custom-VJP at
+    batch 256 — the measured-fastest trainer's exact path."""
+    import optax
+
+    from ecg_denoise_tpu.models import RaleNet
+    from ecg_denoise_tpu.train.state import create_train_state
+    from ecg_denoise_tpu.train.steps import make_epoch_fns
+
+    model = RaleNet(variant="full", use_pallas=True)
+    n, bs = 256, 256
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
+    clean = noisy * 0.5
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
+    train_epoch, eval_epoch = make_epoch_fns(model, tx, donate=False)
+    state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(1), bs)
+    m = jax.device_get(m)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["snr"])
+    ev = jax.device_get(eval_epoch(state, noisy, clean, bs))
+    assert np.isfinite(ev["snr"])
