@@ -199,6 +199,12 @@ def main() -> None:
                     help="with --train: route the train step through the "
                          "fused Pallas layer kernels (fwd + in-kernel-vjp "
                          "bwd) instead of the XLA autodiff path")
+    ap.add_argument("--fast-train-strategy", default="fused",
+                    choices=["fused", "residual"],
+                    help="with --fast-train: 'fused' = round-2 single-call "
+                         "backward (in-kernel full-chain recompute, G=1-2); "
+                         "'residual' = per-block backward with block inputs "
+                         "saved in HBM (larger G, more launches)")
     args = ap.parse_args()
     import sys
 
@@ -246,6 +252,7 @@ def main() -> None:
             detect_r_pos=args.r_pos == "detect",
             fast_variant="full" if args.fast_train else None,
             fast_mm_dtype=dtype if args.fast_train else None,
+            fast_strategy=args.fast_train_strategy,
         )
         key = jax.random.PRNGKey(1)
         state, m = train_epoch(state, noisy, clean, key, bs)  # compile

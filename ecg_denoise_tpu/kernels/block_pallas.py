@@ -517,9 +517,73 @@ def _fused_layer_diff_bwd(has_cw, num_heads, mm_dtype, hid, res, g):
 _fused_layer_diff.defvjp(_fused_layer_diff_fwd, _fused_layer_diff_bwd)
 
 
+# --- residual-saving strategy (VERDICT r2 next-round item 6) ------------------
+#
+# The round-2 backward recomputes the ENTIRE block chain inside one
+# pallas_call, so its VMEM estimate scales with (n_blocks + 2)x the forward
+# working set, forcing G = 1..2 — tiny, strictly serialised matmuls
+# (measured 0.48x XLA at batch 32). This strategy instead SAVES each
+# block's input in HBM during the forward (one (B, L, C) slab per block —
+# a few MB/stage) and runs the backward one block per pallas_call: each
+# bwd call recomputes only its own block (unit_scale ~3x), so G lifts by
+# ~(n_blocks + 2)/3 and the matmuls regain their batch width. Costs
+# n_blocks kernel launches per direction instead of 1.
+
+
+def _blocks_of(flat_w, has_cw):
+    """Split the flat weight tuple into per-block (weights, has_cw) pairs."""
+    out, i = [], 0
+    for cw_flag in has_cw:
+        n_w = _W_NAMES - (0 if cw_flag else 1)
+        out.append((tuple(flat_w[i:i + n_w]), (cw_flag,)))
+        i += n_w
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_layer_diff_res(x, pe, bias, flat_w, has_cw, num_heads, mm_dtype,
+                          hid):
+    y = x
+    for blk_w, blk_cw in _blocks_of(flat_w, has_cw):
+        y = _fused_layer_call(y, pe, bias, blk_w, blk_cw,
+                              num_heads=num_heads, mm_dtype=mm_dtype, hid=hid)
+    return y
+
+
+def _fused_layer_diff_res_fwd(x, pe, bias, flat_w, has_cw, num_heads,
+                              mm_dtype, hid):
+    xs = []
+    y = x
+    for blk_w, blk_cw in _blocks_of(flat_w, has_cw):
+        xs.append(y)
+        y = _fused_layer_call(y, pe, bias, blk_w, blk_cw,
+                              num_heads=num_heads, mm_dtype=mm_dtype, hid=hid)
+    return y, (tuple(xs), pe, bias, flat_w)
+
+
+def _fused_layer_diff_res_bwd(has_cw, num_heads, mm_dtype, hid, res, g):
+    xs, pe, bias, flat_w = res
+    blocks = _blocks_of(flat_w, has_cw)
+    dbias_acc = None
+    dws_all = []
+    for (blk_w, blk_cw), x_in in zip(reversed(blocks), reversed(xs)):
+        g, dbias, dws = _fused_layer_bwd_call(
+            x_in, pe, bias, blk_w, g, blk_cw,
+            num_heads=num_heads, mm_dtype=mm_dtype, hid=hid,
+        )
+        dws_all = list(dws) + dws_all
+        if dbias is not None:
+            dbias_acc = dbias if dbias_acc is None else dbias_acc + dbias
+    return g, jnp.zeros_like(pe), dbias_acc, tuple(dws_all)
+
+
+_fused_layer_diff_res.defvjp(_fused_layer_diff_res_fwd,
+                             _fused_layer_diff_res_bwd)
+
+
 def fused_layer_diff(x, pe, bias, blocks_params: Sequence, *, num_heads: int,
                      local_enhence: bool, mm_dtype=jnp.float32,
-                     backend: str = "auto"):
+                     backend: str = "auto", strategy: str = "fused"):
     """DIFFERENTIABLE whole-stage fused layer for the training path.
 
     Same semantics as fused_layer; gradients flow to x, bias (the R-wave
@@ -529,18 +593,27 @@ def fused_layer_diff(x, pe, bias, blocks_params: Sequence, *, num_heads: int,
     backend: 'pallas' forces the kernels, 'xla' the identical plain-XLA
     math (autodiff), 'auto' picks XLA only when even G=1 would blow the
     backward VMEM estimate (L=256 stages at depth>=2).
+
+    strategy: 'fused' = the round-2 single-call backward (in-kernel
+    full-chain recompute, G=1..2); 'residual' = per-block forward saving
+    block inputs in HBM + per-block backward (larger G, more launches) —
+    see the residual-saving section above.
     """
     flat_w, has_cw, hid = flatten_blocks_params(blocks_params, local_enhence)
     B, L, C = x.shape
+    n_chain = 1 if strategy == "residual" else len(has_cw)
     if backend == "auto":
         # G=1 feasibility against ~physical VMEM (not the grouped-forward
         # budget): the (n_blocks+2)x estimate ignores Mosaic's liveness
         # reuse, so gating it on _BUDGET_BYTES would reject every stage.
         unit = _block_unit_elems(num_heads, L, C, hid) * 4
-        over = unit * (len(has_cw) + 2) > 14 * 1024 * 1024
+        over = unit * (n_chain + 2) > 14 * 1024 * 1024
         backend = "xla" if over else "pallas"
     if backend == "xla":
         return layer_math_xla(x, pe, bias, flat_w, has_cw,
                               num_heads=num_heads, mm_dtype=mm_dtype)
+    if strategy == "residual":
+        return _fused_layer_diff_res(x, pe, bias, flat_w, has_cw, num_heads,
+                                     mm_dtype, hid)
     return _fused_layer_diff(x, pe, bias, flat_w, has_cw, num_heads,
                              mm_dtype, hid)

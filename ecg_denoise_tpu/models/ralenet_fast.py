@@ -155,17 +155,19 @@ def _bn_train(x, p, s, momentum=0.1, eps=1e-5):
 
 
 def _basic_layer_diff(x, p, pe, bias, num_heads, local_enhence, mm_dtype,
-                      backend):
+                      backend, strategy="fused"):
     names = sorted((k for k in p if k.startswith("blocks_")),
                    key=lambda k: int(k.split("_")[1]))
     return fused_layer_diff(x, pe, bias, [p[n] for n in names],
                             num_heads=num_heads, local_enhence=local_enhence,
-                            mm_dtype=mm_dtype, backend=backend)
+                            mm_dtype=mm_dtype, backend=backend,
+                            strategy=strategy)
 
 
 def apply_fast_train(variables, x, variant: str = "full",
                      r_pos: Optional[jnp.ndarray] = None,
-                     mm_dtype=jnp.float32, backend: str = "auto"):
+                     mm_dtype=jnp.float32, backend: str = "auto",
+                     strategy: str = "fused"):
     """TRAIN-mode RaleNet forward on the differentiable fused-layer kernels.
 
     Same weight tree and semantics as RaleNet.apply(..., train=True,
@@ -202,19 +204,22 @@ def apply_fast_train(variables, x, variant: str = "full",
     for i in range(4):
         h = _basic_layer_diff(h, params[f"dtransformer{i + 1}"],
                               pe_for(_LENGTHS[i], _CHANNELS[i]), attn[i],
-                              _HEADS[i], local_enhence, mm_dtype, backend)
+                              _HEADS[i], local_enhence, mm_dtype, backend,
+                              strategy)
         h = _patch_merge(h, params[f"pm{i + 1}"])
         skips.append(h)
 
     h = _basic_layer_diff(skips[3], params["transformer"],
                           pe_for(_LENGTHS[4], _CHANNELS[4]), None,
-                          _HEADS[4], local_enhence, mm_dtype, backend) + skips[3]
+                          _HEADS[4], local_enhence, mm_dtype, backend,
+                          strategy) + skips[3]
 
     dec_masks = [None, attn[3], attn[2], attn[1]]
     for j, i in enumerate(range(4, 0, -1)):
         h = _basic_layer_diff(h, params[f"utransformer{i}"],
                               pe_for(_LENGTHS[i], _CHANNELS[i]), dec_masks[j],
-                              _HEADS[i], local_enhence, mm_dtype, backend)
+                              _HEADS[i], local_enhence, mm_dtype, backend,
+                              strategy)
         h = _patch_sep(h, params[f"ps{i}"])
         if i > 1:
             h = h + skips[i - 2]

@@ -28,7 +28,8 @@ from ecg_denoise_tpu.train.state import TrainState
 def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
                    detect_r_pos: bool = False,
                    fast_variant: Optional[str] = None,
-                   fast_mm_dtype=None):
+                   fast_mm_dtype=None,
+                   fast_strategy: str = "fused"):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -69,7 +70,7 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
         def apply_train(params, batch_stats, x):
             return apply_fast_train(
                 {"params": params, "batch_stats": batch_stats}, x,
-                variant=fast_variant, mm_dtype=mm,
+                variant=fast_variant, mm_dtype=mm, strategy=fast_strategy,
             )
 
         def apply_eval(variables, x):

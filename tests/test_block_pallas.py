@@ -96,10 +96,11 @@ def _small_layer_setup(local_enhence=True, has_bias=True, depth=2):
     return layer, params, blocks, x, pe, bias, b3, H
 
 
+@pytest.mark.parametrize("strategy", ["fused", "residual"])
 @pytest.mark.parametrize("local_enhence,has_bias", [
     (True, True), (False, True), (True, False),
 ])
-def test_fused_layer_diff_matches_flax_grads(local_enhence, has_bias):
+def test_fused_layer_diff_matches_flax_grads(local_enhence, has_bias, strategy):
     """Value AND gradient parity of the differentiable fused layer
     (kernels/block_pallas.fused_layer_diff, in-kernel jax.vjp backward)
     against the flax BasicLayer under XLA autodiff — x, bias and every
@@ -117,7 +118,8 @@ def test_fused_layer_diff_matches_flax_grads(local_enhence, has_bias):
         blocks = [params[f"blocks_{i}"] for i in range(2)]
         y = bp.fused_layer_diff(x, pe, b3, blocks, num_heads=H,
                                 local_enhence=local_enhence,
-                                mm_dtype=jnp.float32, backend="pallas")
+                                mm_dtype=jnp.float32, backend="pallas",
+                                strategy=strategy)
         return jnp.sum(y * cot)
 
     args_ref = (params, x, bias)
