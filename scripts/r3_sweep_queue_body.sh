@@ -2,6 +2,11 @@
 # Sweep body (invoked by r3_chip_queue.sh after the quick chip jobs).
 cd /root/repo
 set -u
+
+# Hold for the interactive rpos-kernel debug window (touch the marker to
+# release): the on-chip rpos train path failed in the rpos bench queue and
+# needs exclusive chip access to diagnose before 4h of sweep runs.
+until [ -f /tmp/r3_sweep_go ]; do sleep 30; done
 echo "=== DWT baseline grid (4 noise x 5 intensities) -> dwt_dn_result.txt ==="
 rm -f dwt_dn_result.txt
 for n in 0 1 2 3; do
