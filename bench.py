@@ -197,8 +197,11 @@ def main() -> None:
                          "fused-kernel fast path — ops/attention.py RPosBias)")
     ap.add_argument("--fast-train", action="store_true",
                     help="with --train: route the train step through the "
-                         "fused Pallas layer kernels (fwd + in-kernel-vjp "
-                         "bwd) instead of the XLA autodiff path")
+                         "fused whole-stage Pallas layer kernels. MEASURED "
+                         "SLOWER than both the XLA path and --use-pallas "
+                         "(r3: fused 6.97k / residual 7.36k vs XLA 14.5k "
+                         "vs attn-kernel 16-22.8k w/s) — kept for the "
+                         "kernel-engineering record; see ARCHITECTURE.md")
     ap.add_argument("--fast-train-strategy", default="fused",
                     choices=["fused", "residual"],
                     help="with --fast-train: 'fused' = round-2 single-call "
