@@ -373,7 +373,7 @@ def _window_mask(off_ref, W, G, L, PL):
     """
     pos = (jax.lax.broadcasted_iota(jnp.int32, (G, PL), 1) % L).astype(
         jnp.float32)
-    off = off_ref[:].astype(jnp.float32)  # (G, 1)
+    off = off_ref[:].reshape(G, 1).astype(jnp.float32)
     return ((pos >= off) & (pos < off + W)).astype(jnp.float32)
 
 
@@ -435,7 +435,12 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
 
 
 def _off_spec(G):
-    return pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    # Offsets ride as (B, 1, 1) so the block's LAST TWO dims equal the
+    # array dims — Mosaic requires last-two block dims divisible by (8,
+    # 128) or equal to the array's (the (G, 1) form was rejected on
+    # hardware; runs/tpu_kernel_tests_r3.log).
+    return pl.BlockSpec((G, 1, 1), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -460,7 +465,7 @@ def _rpos_fwd_impl(q, k, v, toep, W, offsets):
     Hp, Lp = H // P, P * L
     qp, kp, vp = (_pack(a, B, H, L, D, P) for a in (q, k, v))
     toep_bd = _pack_toep(toep, H, L, P)
-    off = offsets.reshape(B, 1).astype(jnp.float32)
+    off = offsets.reshape(B, 1, 1).astype(jnp.float32)
     G = _group_size(B, Hp, Lp)
     if G > 1:
         G //= 2  # masked-bias temp doubles the working set
@@ -505,7 +510,7 @@ def _rpos_bwd(W, res, g):
     Hp, Lp = H // P, P * L
     qp, kp, vp, gp = (_pack(a, B, H, L, D, P) for a in (q, k, v, g))
     toep_bd = _pack_toep(toep, H, L, P)
-    off = offsets.reshape(B, 1).astype(jnp.float32)
+    off = offsets.reshape(B, 1, 1).astype(jnp.float32)
     G = _group_size(B, Hp, Lp)
     if G > 1:
         G //= 2
