@@ -188,3 +188,34 @@ def test_rwbias_edge_truncation_matches_reference():
         got = np.asarray(mod.apply(variables, jnp.int32(r_pos)))
         np.testing.assert_allclose(got, want, atol=1e-6,
                                    err_msg=f"r_pos={r_pos}")
+
+
+def test_convert_ckpt_cli_to_serving(tmp_path):
+    """cli/convert_ckpt.py end-to-end: a reference .pth becomes a full
+    TrainState .msgpack that serving.Denoiser restores with forward parity
+    to the source torch model."""
+    import subprocess
+    import sys as _sys
+
+    from ecg_denoise_tpu.serving import Denoiser
+
+    torch.manual_seed(11)
+    tm = tw.build_reference_model(5)
+    tm.eval()
+    pth = tmp_path / "ACDAE_9_emb_intensity-4.pth"
+    torch.save(tm.state_dict(), pth)
+    out = tmp_path / "ACDAE_9_emb_intensity-4.msgpack"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [_sys.executable, os.path.join(repo, "cli", "convert_ckpt.py"),
+         "--model_index", "5", "--pth", str(pth), "--out", str(out)],
+        capture_output=True, text=True, cwd=repo)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert out.exists()
+
+    d = Denoiser.from_checkpoint("ACDAE", str(out), max_batch=8)
+    x = np.random.default_rng(12).standard_normal((4, 2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(d(x), ref, atol=1e-4, rtol=1e-4)
