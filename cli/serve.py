@@ -115,9 +115,17 @@ def main():
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != "/denoise":
+            # /denoise: (N, C, 256) windows. /denoise_record?stride=K:
+            # one (C, T) record of any length, overlap-add stitched
+            # (serving.Denoiser.denoise_record).
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path not in ("/denoise", "/denoise_record"):
                 self.send_error(404)
                 return
+            record = url.path == "/denoise_record"
+            stride = int(parse_qs(url.query).get("stride", ["128"])[0])
             try:
                 import time
 
@@ -142,7 +150,11 @@ def main():
                     raise ValueError("fortran-order payloads not supported")
                 x = np.frombuffer(view[buf.tell():], dtype=dtype).reshape(shape)
                 t1 = time.perf_counter()
-                y, seg = denoiser.denoise_timed(x)
+                if record:
+                    y = denoiser.denoise_record(x, stride=stride)
+                    seg = {}
+                else:
+                    y, seg = denoiser.denoise_timed(x)
                 t2 = time.perf_counter()
                 # Stream the response: write the npy header + raw bytes
                 # straight to the socket, no intermediate BytesIO body.

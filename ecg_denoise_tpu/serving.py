@@ -182,6 +182,50 @@ class Denoiser:
             t["fetch_ms"] += (t3 - t2) * 1e3
             i += m
 
+    def denoise_record(self, signal: np.ndarray, stride: int = 128,
+                       length: int = 256) -> np.ndarray:
+        """Denoise an arbitrary-length record by overlap-add stitching.
+
+        The models operate on fixed `length`-sample windows (the reference
+        evaluates windows only and has no long-record path). This slides a
+        window every `stride` samples (plus a final flush at T-length so
+        the tail is always covered), batch-denoises all windows through
+        the bucketed jitted path, and blends overlaps with a Hann taper
+        normalised by the accumulated weight — window-seam discontinuities
+        average out instead of clicking. Positions covered by a single
+        window (the record edges) reproduce that window's output exactly.
+
+        signal: (C, T) with C = the model's channel count (2 for the
+        reference families). Records shorter than `length` are
+        reflect-padded, denoised as one window, and cropped. Returns the
+        same shape.
+        """
+        sig = np.asarray(signal, np.float32)
+        if sig.ndim != 2:
+            raise ValueError(f"denoise_record wants (C, T), got {sig.shape}")
+        c, t = sig.shape
+        if t < length:
+            pad = length - t
+            padded = np.pad(sig, ((0, 0), (0, pad)), mode="reflect"
+                            if t > 1 else "edge")
+            return self(padded[None])[0][:, :t]
+        if stride < 1 or stride > length:
+            raise ValueError(f"stride must be in 1..{length}, got {stride}")
+        starts = list(range(0, t - length + 1, stride))
+        if starts[-1] != t - length:
+            starts.append(t - length)
+        windows = np.stack([sig[:, s:s + length] for s in starts])
+        denoised = self(windows)
+        # Hann + eps floor: interior seams blend smoothly; at positions
+        # only one window covers, num/den reduces to that window's value.
+        w = (np.hanning(length) + 1e-6).astype(np.float32)
+        num = np.zeros((c, t), np.float32)
+        den = np.zeros((t,), np.float32)
+        for s, y in zip(starts, denoised):
+            num[:, s:s + length] += w * y
+            den[s:s + length] += w
+        return num / den
+
     def warmup(self, channels: int = 2, length: int = 256,
                limit: Optional[int] = None) -> None:
         """Pre-compile batch buckets up to `limit` (default: max_batch).
