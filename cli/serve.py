@@ -57,6 +57,11 @@ def main():
                         "(RaleNet-family checkpoints with the rel-pos "
                         "tables, i.e. ralenet/ralenet_mlp; +0.16 dB "
                         "trained quality, fused-kernel fast path)")
+    p.add_argument("--n_data", type=int, default=0,
+                   help="data-parallel serving over an ('data','model') "
+                        "mesh of this many devices (power of two; XLA "
+                        "model only — batches shard on 'data', params "
+                        "replicate)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set "
                         "before first backend use — env vars are too late "
@@ -85,10 +90,18 @@ def main():
         print("--r_pos is not supported by the whole-stage --fast engine; "
               "using the standard (or --use_pallas) path")
         fast = None
+    mesh = None
+    if args.n_data:
+        if fast or args.use_pallas:
+            sys.exit("--n_data mesh serving runs the XLA model; drop "
+                     "--fast/--use_pallas")
+        from ecg_denoise_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data, n_model=1)
     denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
                                         max_batch=args.max_batch, fast=fast,
                                         use_pallas=args.use_pallas,
-                                        r_pos=r_pos)
+                                        r_pos=r_pos, mesh=mesh)
     if args.warmup_max:
         denoiser.warmup(limit=args.warmup_max)
     meta = {"model": args.model, "ckpt": args.ckpt,

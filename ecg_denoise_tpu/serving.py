@@ -27,8 +27,8 @@ from ecg_denoise_tpu.train.state import create_train_state
 from ecg_denoise_tpu.train.checkpoint import load_checkpoint
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    b = 1
+def _bucket(n: int, max_batch: int, floor: int = 1) -> int:
+    b = floor
     while b < n and b < max_batch:
         b *= 2
     return b
@@ -43,7 +43,7 @@ class Denoiser:
 
     def __init__(self, model, variables, max_batch: int = 1024,
                  fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                 r_pos: Optional[str] = None):
+                 r_pos: Optional[str] = None, mesh=None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -53,6 +53,38 @@ class Denoiser:
         # One chip, shared staging buffers: serialize calls (the HTTP
         # front-end is threaded).
         self._lock = threading.Lock()
+
+        # Data-parallel serving over a ('data','model') mesh: parameters
+        # replicated, request batches sharded on 'data' — jit-SPMD runs
+        # each shard on its own chip, gathers on fetch. Collectives ride
+        # ICI; no reference counterpart (single-GPU torch). The Pallas
+        # engines carry no SPMD partitioning rules, so mesh serving is the
+        # XLA model only.
+        self._bucket_floor = 1
+        if mesh is not None:
+            if fast is not None or getattr(model, "use_pallas", False):
+                raise ValueError(
+                    "mesh serving runs the XLA model; build the Denoiser "
+                    "with use_pallas=False and fast=None")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if n_data & (n_data - 1):
+                raise ValueError(f"mesh 'data' size {n_data} must be a "
+                                 "power of two (bucket divisibility)")
+            from ecg_denoise_tpu.parallel.mesh import replicate_state
+
+            variables = replicate_state(variables, mesh)
+            self.variables = variables
+            self._bucket_floor = n_data
+            self.max_batch = max(max_batch, n_data)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        self.mesh = mesh
+
+        jit_kw = {}
+        if mesh is not None:
+            jit_kw = dict(in_shardings=(self._batch_sharding,),
+                          out_shardings=self._batch_sharding)
 
         if fast is not None and jax.default_backend() != "tpu":
             # The fused-layer kernels are Mosaic (TPU) programs; fall back
@@ -82,9 +114,10 @@ class Denoiser:
             from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
 
             attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
-            self.inference_path = f"xla{attn}+rpos:{jax.default_backend()}"
+            dp = f"+dp{mesh.shape['data']}" if mesh is not None else ""
+            self.inference_path = f"xla{attn}+rpos{dp}:{jax.default_backend()}"
 
-            @partial(jax.jit, static_argnums=())
+            @partial(jax.jit, **jit_kw)
             def fwd(batch):
                 return model.apply(variables, batch, train=False,
                                    r_pos=detect_r_peaks(batch))
@@ -95,9 +128,10 @@ class Denoiser:
             # everything else XLA) at large batch — 55.3k windows/s vs
             # 40.5k whole-stage-fused and 35.0k plain XLA at batch 2048.
             attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
-            self.inference_path = f"xla{attn}:{jax.default_backend()}"
+            dp = f"+dp{mesh.shape['data']}" if mesh is not None else ""
+            self.inference_path = f"xla{attn}{dp}:{jax.default_backend()}"
 
-            @partial(jax.jit, static_argnums=())
+            @partial(jax.jit, **jit_kw)
             def fwd(batch):
                 return model.apply(variables, batch, train=False)
 
@@ -108,7 +142,7 @@ class Denoiser:
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
                         fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                        r_pos: Optional[str] = None):
+                        r_pos: Optional[str] = None, mesh=None):
         if use_pallas and jax.default_backend() != "tpu":
             # Same loud fallback as fast=: the attention kernel is a
             # Mosaic (TPU) program.
@@ -123,7 +157,7 @@ class Denoiser:
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype,
-                   r_pos=r_pos)
+                   r_pos=r_pos, mesh=mesh)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.denoise_timed(x)[0]
@@ -157,7 +191,7 @@ class Denoiser:
         while i < n:
             chunk = x[i : i + self.max_batch]
             m = chunk.shape[0]
-            b = _bucket(m, self.max_batch)
+            b = _bucket(m, self.max_batch, self._bucket_floor)
             t0 = time.perf_counter()
             if m == b:
                 padded = chunk  # full bucket: no copy at all
@@ -233,9 +267,10 @@ class Denoiser:
         The limit is rounded UP to the next bucket, so a request of exactly
         `limit` windows never hits a cold compile.
         """
-        limit = min(_bucket(limit or self.max_batch, self.max_batch),
+        limit = min(_bucket(limit or self.max_batch, self.max_batch,
+                            self._bucket_floor),
                     self.max_batch)
-        b = 1
+        b = self._bucket_floor
         while b <= limit:
             jax.block_until_ready(
                 self._fwd(jnp.zeros((b, channels, length), jnp.float32))

@@ -48,6 +48,7 @@ class _PassthroughDenoiser(Denoiser):
         self.max_batch = 16
         self._staging = {}
         self._lock = threading.Lock()
+        self._bucket_floor = 1
         self.inference_path = "passthrough"
         self._fwd = lambda batch: batch
 
@@ -88,3 +89,39 @@ def test_denoise_record_real_model(tmp_path):
     # Position 0 is covered only by the first window -> exactly its output.
     w0 = d(sig[:, :256][None])[0]
     np.testing.assert_allclose(out[:, 0], w0[:, 0], rtol=1e-4, atol=1e-5)
+
+
+def test_denoiser_mesh_dp_matches_single_device(tmp_path):
+    """DP mesh serving == single-device serving: params replicate, the
+    batch shards on 'data', jit-SPMD gathers on fetch. Tolerance is tight
+    but not exact — the partitioned program compiles different fusions
+    than the single-device one (float reassociation ~1e-4 relative)."""
+    from ecg_denoise_tpu.parallel.mesh import make_mesh
+
+    model = build_model("unet")
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 2, 256), jnp.float32)
+    )
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state)
+
+    single = Denoiser.from_checkpoint("unet", ckpt, max_batch=32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    dp = Denoiser.from_checkpoint("unet", ckpt, max_batch=32, mesh=mesh)
+    assert "+dp8" in dp.inference_path
+
+    # Odd batch (11 -> bucket 16, two windows per device) and a
+    # sub-mesh-size request (3 -> floor bucket 8).
+    for n in (11, 3, 32):
+        x = np.random.default_rng(n).standard_normal((n, 2, 256)).astype(np.float32)
+        np.testing.assert_allclose(dp(x), single(x), rtol=1e-3, atol=1e-5)
+
+    # Pallas paths carry no SPMD rules: constructing one on a mesh fails.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="XLA model"):
+        # Raises in __init__, before variables are ever applied — the
+        # unet variables never meet the ralenet model.
+        Denoiser(build_model("ralenet", use_pallas=True),
+                 {"params": state.params, "batch_stats": state.batch_stats},
+                 mesh=mesh)
