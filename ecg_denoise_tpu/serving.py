@@ -260,6 +260,10 @@ class Denoiser:
             den[s:s + length] += w
         return num / den
 
+    def streaming(self, stride: int = 128, length: int = 256):
+        """A stateful online denoiser over this Denoiser (live monitors)."""
+        return StreamingDenoiser(self, stride=stride, length=length)
+
     def warmup(self, channels: int = 2, length: int = 256,
                limit: Optional[int] = None) -> None:
         """Pre-compile batch buckets up to `limit` (default: max_batch).
@@ -276,3 +280,119 @@ class Denoiser:
                 self._fwd(jnp.zeros((b, channels, length), jnp.float32))
             )
             b *= 2
+
+
+class StreamingDenoiser:
+    """Online (live-feed) denoising with bounded latency.
+
+    Wraps a Denoiser for sample streams: `push` accepts any number of new
+    samples and returns the samples whose denoising is FINAL — every
+    window that can cover them has been accumulated — so output never
+    changes retroactively. Latency is at most `length` samples (one model
+    window); steady-state it is `length - stride` plus the wait for the
+    next window boundary.
+
+    The window placement and Hann-taper overlap-add are EXACTLY
+    denoise_record's: feeding a whole record through push()+flush() in
+    chunks of any size reproduces denoise_record(record) (same window
+    starts incl. the tail flush, same weights), modulo float re-batching
+    noise. No reference counterpart (its eval is fixed windows only).
+    """
+
+    def __init__(self, denoiser: Denoiser, stride: int = 128,
+                 length: int = 256):
+        if stride < 1 or stride > length:
+            raise ValueError(f"stride must be in 1..{length}, got {stride}")
+        self.denoiser = denoiser
+        self.stride = stride
+        self.length = length
+        self._w = (np.hanning(length) + 1e-6).astype(np.float32)
+        self._buf = None      # (C, n) inputs from self._anchor onward
+        self._num = None      # weighted-output accumulator, same span
+        self._den = None
+        self._anchor = 0      # absolute sample index of buf[:, 0]
+        self._next_start = 0  # absolute start of the next grid window
+        self._emitted = 0     # absolute index of the first unemitted sample
+        self._total = 0       # absolute samples received
+        self._flushed = False
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed (C, k) new samples; return (C, m) finalized denoised
+        samples (m can be 0 while the first window fills)."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed")
+        x = np.asarray(samples, np.float32)
+        if x.ndim != 2:
+            raise ValueError(f"push wants (C, k), got {x.shape}")
+        if self._buf is None:
+            self._buf = np.zeros((x.shape[0], 0), np.float32)
+            self._num = np.zeros((x.shape[0], 0), np.float32)
+            self._den = np.zeros((0,), np.float32)
+        self._buf = np.concatenate([self._buf, x], axis=1)
+        self._num = np.concatenate(
+            [self._num, np.zeros_like(x)], axis=1)
+        self._den = np.concatenate(
+            [self._den, np.zeros((x.shape[1],), np.float32)])
+        self._total += x.shape[1]
+
+        starts = []
+        while self._next_start + self.length <= self._total:
+            starts.append(self._next_start)
+            self._next_start += self.stride
+        if starts:
+            self._accumulate(starts)
+            # Positions below the last processed start are final: every
+            # later window begins at or after it. Emit BEFORE re-anchoring
+            # (emit reads positions below the new anchor).
+            out = self._emit(starts[-1])
+            self._anchor_to(starts[-1])
+            return out
+        return self._buf[:, :0]
+
+    def flush(self) -> np.ndarray:
+        """End of stream: process the tail-flush window (denoise_record's
+        final start at T-length, if off the stride grid) and return every
+        remaining sample. Short streams (< one window) reflect-pad like
+        denoise_record."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed")
+        self._flushed = True
+        if self._buf is None or self._total == 0:
+            return np.zeros((0, 0), np.float32)
+        t = self._total
+        if t < self.length:
+            # Same path as denoise_record's short-record branch.
+            return self.denoiser.denoise_record(
+                self._buf, stride=self.stride, length=self.length)
+        last_grid = self._next_start - self.stride
+        if t - self.length > last_grid or last_grid < 0:
+            self._accumulate([t - self.length])
+        return self._emit(t)
+
+    def _accumulate(self, starts) -> None:
+        a = self._anchor
+        windows = np.stack(
+            [self._buf[:, s - a:s - a + self.length] for s in starts])
+        outs = self.denoiser(windows)
+        for s, y in zip(starts, outs):
+            self._num[:, s - a:s - a + self.length] += self._w * y
+            self._den[s - a:s - a + self.length] += self._w
+
+    def _anchor_to(self, new_anchor: int) -> None:
+        # Drop state below the new anchor; everything below is either
+        # emitted already or about to be (emit never reads below it).
+        drop = new_anchor - self._anchor
+        if drop > 0:
+            self._buf = self._buf[:, drop:]
+            self._num = self._num[:, drop:]
+            self._den = self._den[drop:]
+            self._anchor = new_anchor
+
+    def _emit(self, upto: int) -> np.ndarray:
+        a = self._anchor
+        lo, hi = self._emitted - a, upto - a
+        if hi <= lo:
+            return self._buf[:, :0]
+        out = self._num[:, lo:hi] / self._den[lo:hi]
+        self._emitted = upto
+        return out

@@ -125,3 +125,53 @@ def test_denoiser_mesh_dp_matches_single_device(tmp_path):
         Denoiser(build_model("ralenet", use_pallas=True),
                  {"params": state.params, "batch_stats": state.batch_stats},
                  mesh=mesh)
+
+
+def test_streaming_matches_denoise_record_passthrough():
+    """push()/flush() over arbitrary chunk sizes reproduces
+    denoise_record exactly for an identity model: same window starts
+    (incl. the off-grid tail flush), same Hann overlap-add."""
+    rng = np.random.default_rng(7)
+    for t, stride in ((1000, 128), (777, 96), (512, 128), (300, 256),
+                      (100, 128)):
+        d = _PassthroughDenoiser()
+        sig = rng.standard_normal((2, t)).astype(np.float32)
+        want = d.denoise_record(sig, stride=stride)
+
+        s = d.streaming(stride=stride)
+        chunks, i = [], 0
+        while i < t:
+            k = int(rng.integers(1, 200))
+            chunks.append(s.push(sig[:, i:i + k]))
+            i += min(k, t - i)
+        chunks.append(s.flush())
+        got = np.concatenate([c for c in chunks if c.size], axis=1)
+        assert got.shape == sig.shape, (t, stride, got.shape)
+        np.testing.assert_allclose(got, want, atol=1e-5,
+                                   err_msg=f"t={t} stride={stride}")
+
+
+def test_streaming_real_model_and_api(tmp_path):
+    model = build_model("unet")
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 2, 256), jnp.float32)
+    )
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state)
+    d = Denoiser.from_checkpoint("unet", ckpt, max_batch=16)
+
+    sig = np.random.default_rng(8).standard_normal((2, 700)).astype(np.float32)
+    want = d.denoise_record(sig, stride=128)
+    s = d.streaming(stride=128)
+    out = [s.push(sig[:, :400]), s.push(sig[:, 400:]), s.flush()]
+    got = np.concatenate([c for c in out if c.size], axis=1)
+    # Different batch compositions compile different bucket programs ->
+    # float noise, not bit equality.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="flushed"):
+        s.push(sig[:, :10])
+    with _pytest.raises(ValueError, match="stride"):
+        d.streaming(stride=0)
