@@ -76,6 +76,10 @@ def _vpu_group_size(B: int, Hg: int, L: int, PL: int, PD: int) -> int:
 
 def _fwd_kernel(P: int, L: int, D: int,
                 q_ref, k_ref, v_ref, bias_ref, o_ref):
+    # Results stream into o_ref lane-slices per head-block p so no
+    # (E, L, 1)-piece list survives to a final concat: each narrow piece
+    # pads to 128 lanes in VMEM, and P*D live pieces blew the 16 MB
+    # scoped-vmem stack on hardware (runs/r3b_vpu_auto.log).
     G, Hg, _, PD = q_ref.shape
     E = G * Hg
     PL = P * L
@@ -84,7 +88,6 @@ def _fwd_kernel(P: int, L: int, D: int,
     v = v_ref[:].reshape(E, D, PL)
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)  # (Hg, L, PL)
-    outs = []
     for p in range(P):
         # logits block (E, L, L): sum_d q[:, :, p*D+d] (x) k[:, d, pL:pL+L]
         acc = None
@@ -100,11 +103,11 @@ def _fwd_kernel(P: int, L: int, D: int,
         e = jnp.exp(acc - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
         probs = probs.astype(v.dtype)
-        for d in range(D):
-            vr = v[:, d:d + 1, p * L:(p + 1) * L]  # (E, 1, L)
-            outs.append(jnp.sum(probs * vr, axis=-1, keepdims=True))
-    out = jnp.concatenate(outs, axis=-1)  # (E, L, P*D), (p, d) lane order
-    o_ref[:] = out.reshape(G, Hg, L, PD).astype(o_ref.dtype)
+        rows = [jnp.sum(probs * v[:, d:d + 1, p * L:(p + 1) * L],
+                        axis=-1, keepdims=True) for d in range(D)]
+        blk = jnp.concatenate(rows, axis=-1)  # (E, L, D)
+        o_ref[:, :, :, p * D:(p + 1) * D] = blk.reshape(
+            G, Hg, L, D).astype(o_ref.dtype)
 
 
 def _bwd_kernel(P: int, L: int, D: int,
@@ -121,10 +124,12 @@ def _bwd_kernel(P: int, L: int, D: int,
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)
 
-    dq_parts = []   # (p, d) lane order -> (E, L, PD)
-    dk_parts = []   # per d: list over p -> (E, 1, PL); stacked to (E, D, PL)
-    dv_parts = []
-    ds_blocks = []
+    if dbias_ref is not None:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
+
+    # Per-block streaming stores (see _fwd_kernel note on scoped vmem).
     for p in range(P):
         acc = None
         dp = None
@@ -145,41 +150,27 @@ def _bwd_kernel(P: int, L: int, D: int,
         e = jnp.exp(acc - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (E, L, L) f32
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        ds_blocks.append(ds)
+        if dbias_ref is not None:
+            dbias_ref[:, :, p * L:(p + 1) * L] += jnp.sum(
+                ds.reshape(G, Hg, L, L), axis=0).astype(dbias_ref.dtype)
+        # dq[l, (p,d)] = sum_m ds[l, m] k[d, m]
+        dq_rows = [jnp.sum(ds * k[:, d:d + 1, p * L:(p + 1) * L],
+                           axis=-1, keepdims=True) for d in range(D)]
+        dq_ref[:, :, :, p * D:(p + 1) * D] = jnp.concatenate(
+            dq_rows, axis=-1).reshape(G, Hg, L, D).astype(dq_ref.dtype)
+        dk_rows = []
+        dv_rows = []
         for d in range(D):
-            kr = k[:, d:d + 1, p * L:(p + 1) * L]
-            # dq[l, (p,d)] = sum_m ds[l, m] k[d, m]
-            dq_parts.append(jnp.sum(ds * kr, axis=-1, keepdims=True))
             qc = jnp.broadcast_to(q[:, :, p * D + d:p * D + d + 1], (E, L, L))
             gc = jnp.broadcast_to(gy[:, :, p * D + d:p * D + d + 1], (E, L, L))
             # dk[d, (p,m)] = sum_l ds[l, m] q[l, (p,d)]  (sublane reduce)
-            dk_parts.append(jnp.sum(ds * qc, axis=1, keepdims=True))
+            dk_rows.append(jnp.sum(ds * qc, axis=1, keepdims=True))
             # dv[d, (p,m)] = sum_l probs[l, m] g[l, (p,d)]
-            dv_parts.append(jnp.sum(probs * gc, axis=1, keepdims=True))
-
-    dq = jnp.concatenate(dq_parts, axis=-1)  # (E, L, PD)
-    dq_ref[:] = dq.reshape(G, Hg, L, PD).astype(dq_ref.dtype)
-    # Reassemble (E, D, PL): for each d, lane-concat the P (E, 1, L) strips,
-    # then sublane-concat the D rows.
-    dk_rows = [jnp.concatenate([dk_parts[p * D + d] for p in range(P)],
-                               axis=-1) for d in range(D)]
-    dv_rows = [jnp.concatenate([dv_parts[p * D + d] for p in range(P)],
-                               axis=-1) for d in range(D)]
-    dk = jnp.concatenate(dk_rows, axis=1)  # (E, D, PL)
-    dv = jnp.concatenate(dv_rows, axis=1)
-    dk_ref[:] = dk.reshape(G, Hg, D, PL).astype(dk_ref.dtype)
-    dv_ref[:] = dv.reshape(G, Hg, D, PL).astype(dv_ref.dtype)
-
-    if dbias_ref is not None:
-        ds_full = jnp.concatenate(ds_blocks, axis=-1)  # (E, L, PL)
-
-        @pl.when(b == 0)
-        def _():
-            dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
-
-        dbias_ref[:] += jnp.sum(ds_full.reshape(G, Hg, L, PL), axis=0).astype(
-            dbias_ref.dtype
-        )
+            dv_rows.append(jnp.sum(probs * gc, axis=1, keepdims=True))
+        dk_ref[:, :, :, p * L:(p + 1) * L] = jnp.concatenate(
+            dk_rows, axis=1).reshape(G, Hg, D, L).astype(dk_ref.dtype)
+        dv_ref[:, :, :, p * L:(p + 1) * L] = jnp.concatenate(
+            dv_rows, axis=1).reshape(G, Hg, D, L).astype(dv_ref.dtype)
 
 
 def _pack_q(q, B, H, L, D, P):
@@ -317,6 +308,203 @@ def _bwd_impl(q, k, v, bias, g):
     dk = _unpack_kv(dkp, B, H, L, D, P)
     dv = _unpack_kv(dvp, B, H, L, D, P)
     return dq, dk, dv, dbias
+
+
+# --- per-window R-peak bias (VPU engine variant) ---------------------------
+#
+# Same factorization as attention_pallas.fused_attention_rpos (reference
+# model/transformer.py:508-558 semantics): bias_b[l, m] = toep[l, m] *
+# in_b[l] * in_b[m], with in_b the [off_b, off_b + W) interval indicator.
+# In the (L, P*L) packed layout the m-mask lives on lanes (lane % L) and
+# the l-mask on sublanes — both from broadcasted_iota + f32 offsets, so
+# the (B, H, L, L) bias never exists in any memory space.
+
+
+def _rpos_masks(off_ref, W, G, L, PL):
+    pos_m = (jax.lax.broadcasted_iota(jnp.int32, (G, 1, PL), 2) % L).astype(
+        jnp.float32)
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (G, L, 1), 1).astype(
+        jnp.float32)
+    off = off_ref[:].reshape(G, 1, 1).astype(jnp.float32)
+    m_m = ((pos_m >= off) & (pos_m < off + W)).astype(jnp.float32)
+    m_l = ((pos_l >= off) & (pos_l < off + W)).astype(jnp.float32)
+    return m_l, m_m  # (G, L, 1), (G, 1, PL)
+
+
+def _rpos_fwd_kernel(P, L, D, W, q_ref, k_ref, v_ref, toep_ref, off_ref,
+                     o_ref):
+    G, Hg, _, PD = q_ref.shape
+    E = G * Hg
+    PL = P * L
+    q = q_ref[:].reshape(E, L, PD).astype(jnp.float32)
+    k = k_ref[:].reshape(E, D, PL).astype(jnp.float32)
+    v = v_ref[:].reshape(E, D, PL)
+    toep = toep_ref[:].astype(jnp.float32)  # (Hg, L, PL)
+    m_l, m_m = _rpos_masks(off_ref, W, G, L, PL)
+    for p in range(P):
+        acc = None
+        for d in range(D):
+            qc = jnp.broadcast_to(q[:, :, p * D + d:p * D + d + 1], (E, L, L))
+            kr = k[:, d:d + 1, p * L:(p + 1) * L]
+            term = qc * kr
+            acc = term if acc is None else acc + term
+        tp = toep[:, :, p * L:(p + 1) * L]  # (Hg, L, L)
+        gate = m_l * m_m[:, :, p * L:(p + 1) * L]  # (G, L, L)
+        acc = (acc.reshape(G, Hg, L, L)
+               + tp[None] * gate[:, None]).reshape(E, L, L)
+        m = jnp.max(acc, axis=-1, keepdims=True)
+        e = jnp.exp(acc - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        rows = [jnp.sum(probs * v[:, d:d + 1, p * L:(p + 1) * L],
+                        axis=-1, keepdims=True) for d in range(D)]
+        o_ref[:, :, :, p * D:(p + 1) * D] = jnp.concatenate(
+            rows, axis=-1).reshape(G, Hg, L, D).astype(o_ref.dtype)
+
+
+def _rpos_bwd_kernel(P, L, D, W, q_ref, k_ref, v_ref, toep_ref, off_ref,
+                     g_ref, dq_ref, dk_ref, dv_ref, dtoep_ref):
+    b = pl.program_id(0)
+    G, Hg, _, PD = q_ref.shape
+    E = G * Hg
+    PL = P * L
+    q = q_ref[:].reshape(E, L, PD).astype(jnp.float32)
+    k = k_ref[:].reshape(E, D, PL).astype(jnp.float32)
+    v = v_ref[:].reshape(E, D, PL).astype(jnp.float32)
+    gy = g_ref[:].reshape(E, L, PD).astype(jnp.float32)
+    toep = toep_ref[:].astype(jnp.float32)
+    m_l, m_m = _rpos_masks(off_ref, W, G, L, PL)
+
+    @pl.when(b == 0)
+    def _():
+        dtoep_ref[:] = jnp.zeros_like(dtoep_ref[:])
+
+    # Per-block streaming stores (see _fwd_kernel note on scoped vmem).
+    for p in range(P):
+        acc = None
+        dp = None
+        for d in range(D):
+            qc = jnp.broadcast_to(q[:, :, p * D + d:p * D + d + 1], (E, L, L))
+            kr = k[:, d:d + 1, p * L:(p + 1) * L]
+            term = qc * kr
+            acc = term if acc is None else acc + term
+            gc = jnp.broadcast_to(gy[:, :, p * D + d:p * D + d + 1], (E, L, L))
+            vr = v[:, d:d + 1, p * L:(p + 1) * L]
+            dterm = gc * vr
+            dp = dterm if dp is None else dp + dterm
+        tp = toep[:, :, p * L:(p + 1) * L]
+        gate = m_l * m_m[:, :, p * L:(p + 1) * L]  # (G, L, L)
+        acc = (acc.reshape(G, Hg, L, L)
+               + tp[None] * gate[:, None]).reshape(E, L, L)
+        m = jnp.max(acc, axis=-1, keepdims=True)
+        e = jnp.exp(acc - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        # d toep gets the mask-gated ds, summed over this step's G.
+        dtoep_ref[:, :, p * L:(p + 1) * L] += jnp.sum(
+            ds.reshape(G, Hg, L, L) * gate[:, None], axis=0).astype(
+            dtoep_ref.dtype)
+        dq_rows = [jnp.sum(ds * k[:, d:d + 1, p * L:(p + 1) * L],
+                           axis=-1, keepdims=True) for d in range(D)]
+        dq_ref[:, :, :, p * D:(p + 1) * D] = jnp.concatenate(
+            dq_rows, axis=-1).reshape(G, Hg, L, D).astype(dq_ref.dtype)
+        dk_rows = []
+        dv_rows = []
+        for d in range(D):
+            qc = jnp.broadcast_to(q[:, :, p * D + d:p * D + d + 1], (E, L, L))
+            gc = jnp.broadcast_to(gy[:, :, p * D + d:p * D + d + 1], (E, L, L))
+            dk_rows.append(jnp.sum(ds * qc, axis=1, keepdims=True))
+            dv_rows.append(jnp.sum(probs * gc, axis=1, keepdims=True))
+        dk_ref[:, :, :, p * L:(p + 1) * L] = jnp.concatenate(
+            dk_rows, axis=1).reshape(G, Hg, D, L).astype(dk_ref.dtype)
+        dv_ref[:, :, :, p * L:(p + 1) * L] = jnp.concatenate(
+            dv_rows, axis=1).reshape(G, Hg, D, L).astype(dv_ref.dtype)
+
+
+def _off_spec(G):
+    # (B, 1, 1) so the block's last two dims equal the array's (Mosaic
+    # block-shape rule; see attention_pallas._off_spec).
+    return pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rpos_fwd_impl(q, k, v, toep, W, offsets):
+    B, H, L, D = q.shape
+    P = vpu_pack_factor(H, L)
+    Hg, PD, PL = H // P, P * D, P * L
+    qp = _pack_q(q, B, H, L, D, P)
+    kp = _pack_kv(k, B, H, L, D, P)
+    vp = _pack_kv(v, B, H, L, D, P)
+    tp = _pack_bias(toep.reshape(H, L, L), H, L, P)
+    off = offsets.reshape(B, 1, 1).astype(jnp.float32)
+    G = _vpu_group_size(B, Hg, L, PL, PD)
+    kernel = functools.partial(_rpos_fwd_kernel, P, L, D, W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[_specs(G, Hg, L, PD), _specs(G, Hg, D, PL),
+                  _specs(G, Hg, D, PL), _bias_spec(Hg, L, PL), _off_spec(G)],
+        out_specs=_specs(G, Hg, L, PD),
+        out_shape=jax.ShapeDtypeStruct((B, Hg, L, PD), q.dtype),
+        cost_estimate=_cost(B, H, L, D, 2),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, tp, off)
+    return _unpack_q(out, B, H, L, D, P)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def vpu_attention_rpos(q, k, v, toep, W: int, offsets=None):
+    """Per-window R-peak biased attention on the VPU engine.
+
+    Contract identical to attention_pallas.fused_attention_rpos: q
+    pre-scaled; toep (1, H, L, L); offsets (B,) f32 window starts; W
+    static. Gradients flow to q/k/v/toep; offsets get zero cotangents.
+    """
+    return _rpos_fwd_impl(q, k, v, toep, W, offsets)
+
+
+def _rpos_vjp_fwd(q, k, v, toep, W, offsets):
+    return _rpos_fwd_impl(q, k, v, toep, W, offsets), (q, k, v, toep, offsets)
+
+
+def _rpos_vjp_bwd(W, res, g):
+    q, k, v, toep, offsets = res
+    B, H, L, D = q.shape
+    P = vpu_pack_factor(H, L)
+    Hg, PD, PL = H // P, P * D, P * L
+    qp = _pack_q(q, B, H, L, D, P)
+    gp = _pack_q(g, B, H, L, D, P)
+    kp = _pack_kv(k, B, H, L, D, P)
+    vp = _pack_kv(v, B, H, L, D, P)
+    tp = _pack_bias(toep.reshape(H, L, L), H, L, P)
+    off = offsets.reshape(B, 1, 1).astype(jnp.float32)
+    G = _vpu_group_size(B, Hg, L, PL, PD)
+    if G > 1:
+        G //= 2
+    kernel = functools.partial(_rpos_bwd_kernel, P, L, D, W)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[_specs(G, Hg, L, PD), _specs(G, Hg, D, PL),
+                  _specs(G, Hg, D, PL), _bias_spec(Hg, L, PL), _off_spec(G),
+                  _specs(G, Hg, L, PD)],
+        out_specs=[_specs(G, Hg, L, PD), _specs(G, Hg, D, PL),
+                   _specs(G, Hg, D, PL), _bias_spec(Hg, L, PL)],
+        out_shape=[jax.ShapeDtypeStruct((B, Hg, L, PD), q.dtype),
+                   jax.ShapeDtypeStruct((B, Hg, D, PL), q.dtype),
+                   jax.ShapeDtypeStruct((B, Hg, D, PL), q.dtype),
+                   jax.ShapeDtypeStruct((Hg, L, PL), jnp.float32)],
+        cost_estimate=_cost(B, H, L, D, 5),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, tp, off, gp)
+    dqp, dkp, dvp, dtp = outs
+    dq = _unpack_q(dqp, B, H, L, D, P)
+    dk = _unpack_kv(dkp, B, H, L, D, P)
+    dv = _unpack_kv(dvp, B, H, L, D, P)
+    dtoep = _unpack_bias(dtp, H, L, P).reshape(1, H, L, L).astype(toep.dtype)
+    return dq, dk, dv, dtoep, jnp.zeros_like(offsets)
+
+
+vpu_attention_rpos.defvjp(_rpos_vjp_fwd, _rpos_vjp_bwd)
 
 
 @jax.custom_vjp

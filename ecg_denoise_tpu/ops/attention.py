@@ -104,7 +104,14 @@ def multi_head_attention(
             from ecg_denoise_tpu.kernels.attention_pallas import (
                 fused_attention_rpos,
             )
+            from ecg_denoise_tpu.kernels.attention_vpu import (
+                vpu_attention_rpos,
+                vpu_wanted,
+            )
 
+            if vpu_wanted(q.shape[2], q.shape[1]):
+                return vpu_attention_rpos(q, k, v, bias.toep, bias.W,
+                                          bias.offsets)
             return fused_attention_rpos(q, k, v, bias.toep, bias.W,
                                         bias.offsets)
         bias = bias.materialize()

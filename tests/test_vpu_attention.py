@@ -97,6 +97,53 @@ def test_dispatcher_routes_small_l_to_vpu(monkeypatch):
     assert calls == []
 
 
+def _toep(L, W, H, key=11):
+    table = _rand((2 * W - 1, H), key)
+    pos = jnp.arange(L)
+    rel = pos[:, None] - pos[None, :]
+    idx = jnp.clip(rel + W - 1, 0, 2 * W - 2)
+    return (table[idx] * (jnp.abs(rel) < W)[..., None]).transpose(2, 0, 1)[None]
+
+
+@pytest.mark.parametrize("L,W,H", [(64, 8, 8), (32, 4, 16), (16, 4, 32)])
+def test_vpu_rpos_forward_parity(L, W, H):
+    """Per-window R-peak VPU kernel vs the materialized XLA bias, incl.
+    edge-truncating offsets (windows hanging off both ends)."""
+    from ecg_denoise_tpu.ops.attention import RPosBias
+
+    B, D = 4, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    r_pos = jnp.asarray([0, 5, L // 2, L - 1], jnp.int32)
+    offsets = (r_pos - W // 2).astype(jnp.float32)
+    bias = RPosBias(toep=toep, offsets=offsets, W=W).materialize()
+    ref = multi_head_attention(q, k, v, bias)
+    out = av.vpu_attention_rpos(q, k, v, toep, W, offsets)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_vpu_rpos_grad_parity():
+    from ecg_denoise_tpu.ops.attention import RPosBias
+
+    B, H, L, D, W = 4, 16, 32, 4, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    offsets = (jnp.asarray([3, 10, 16, 30], jnp.int32) - W // 2).astype(
+        jnp.float32)
+
+    def loss_ref(q, k, v, toep):
+        bias = RPosBias(toep=toep, offsets=offsets, W=W).materialize()
+        return jnp.sum(multi_head_attention(q, k, v, bias) ** 2)
+
+    def loss_vpu(q, k, v, toep):
+        return jnp.sum(av.vpu_attention_rpos(q, k, v, toep, W, offsets) ** 2)
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, toep)
+    g_vpu = jax.grad(loss_vpu, (0, 1, 2, 3))(q, k, v, toep)
+    for a, b in zip(g_vpu, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_vpu_pack_factor():
     assert av.vpu_pack_factor(32, 16) == 8
     assert av.vpu_pack_factor(16, 32) == 4
