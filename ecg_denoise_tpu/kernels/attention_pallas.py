@@ -117,7 +117,16 @@ def _group_size(B: int, H: int, L: int) -> int:
     return 1
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+def _ablate_mode() -> str:
+    """Timing-attribution knob (numerics change; benchmarking only):
+    ECG_ATTN_ABLATE = dma | noqk | nosm | nopv skips one kernel phase so
+    iso timings attribute the per-call cost on hardware."""
+    import os
+
+    return os.environ.get("ECG_ATTN_ABLATE", "")
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
     # G batch elements x all H heads per grid step, as one batched
     # (G*H, L, L) contraction. Operands arrive in (G, H, D, L) layout so the
     # LANE dim is L (no padding at L >= 128) — the natural (..., L, D=4)
@@ -125,16 +134,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     # native dtype (bf16 hits the MXU fast path) with f32 accumulation;
     # softmax runs in f32.
     G, H, D, L = q_ref.shape
+    if mode == "dma":
+        o_ref[:] = q_ref[:]
+        return
     q = q_ref[:].reshape(G * H, D, L)
     k = k_ref[:].reshape(G * H, D, L)
     v = v_ref[:].reshape(G * H, D, L)
-    logits = _logits(q, k)  # contract D -> (G*H, L, L) f32
+    if mode == "noqk":
+        logits = jnp.broadcast_to(k[:, :1, :].astype(jnp.float32),
+                                  (G * H, L, L))
+    else:
+        logits = _logits(q, k)  # contract D -> (G*H, L, L) f32
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)  # (H, L, L)
         logits = (logits.reshape(G, H, L, L) + bias).reshape(G * H, L, L)
-    probs = _softmax_f32(logits).astype(v.dtype)
-    # out[d, l] = sum_m v[d, m] p[l, m]
-    out = _bmm(v, probs, ((2,), (2,)))  # (G*H, D, L)
+    if mode == "nosm":
+        probs = (logits * 1e-3).astype(v.dtype)
+    else:
+        probs = _softmax_f32(logits).astype(v.dtype)
+    if mode == "nopv":
+        out = probs[:, :D, :]
+    else:
+        # out[d, l] = sum_m v[d, m] p[l, m]
+        out = _bmm(v, probs, ((2,), (2,)))  # (G*H, D, L)
     o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
@@ -253,30 +275,38 @@ def _fwd(q, k, v, bias):
                     bias.reshape(H, L, L) if bias is not None else None, H, L)
 
 
-def _fwd_raw(q, k, v, bias, H, L):
-    B, _, _, D = q.shape
+def _fwd_call(qt, kt, vt, bias, H, L):
+    """The raw kernel launch on pre-transposed (B, H, D, L) operands;
+    returns (B, H, D, L). Factored out so glue cost (the XLA transposes in
+    _fwd_raw) can be measured separately (profile_forward.py iso-raw)."""
+    B, _, D, _ = qt.shape
     has_bias = bias is not None
-    kernel = _fwd_kernel if has_bias else (
-        lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, None, orf)
+    mode = _ablate_mode()
+    kernel = functools.partial(_fwd_kernel, mode=mode) if has_bias else (
+        lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, None, orf, mode=mode)
     )
     G = _group_size(B, H, L)
     in_specs = [_elem_spec(G, H, D, L)] * 3 + ([_bias_spec(H, L)] if has_bias else [])
-    # (B, H, L, D) -> (B, H, D, L): lane dim becomes L (see _fwd_kernel note).
-    qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (q, k, v))
     args = (qt, kt, vt) + ((bias,) if has_bias else ())
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=_elem_spec(G, H, D, L),
-        out_shape=jax.ShapeDtypeStruct((B, H, D, L), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, L), qt.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * L * L * D + L * L),
-            bytes_accessed=q.size * 4 * 4,
+            bytes_accessed=qt.size * 4 * 4,
             transcendentals=B * H * L * L,
         ),
         interpret=_INTERPRET,
     )(*args)
+
+
+def _fwd_raw(q, k, v, bias, H, L):
+    # (B, H, L, D) -> (B, H, D, L): lane dim becomes L (see _fwd_kernel note).
+    qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (q, k, v))
+    out = _fwd_call(qt, kt, vt, bias, H, L)
     return out.transpose(0, 1, 3, 2)  # back to (B, H, L, D)
 
 

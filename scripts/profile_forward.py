@@ -82,6 +82,35 @@ def attn_isolated(batch, dtype, iters, chain, use_pallas=True):
     return total, per_stage
 
 
+def attn_isolated_raw(batch, dtype, iters, chain):
+    """Time the raw pallas kernel launches alone, chained on pre-packed
+    (B, Hg, D, P*L) operands — NO XLA-side transposes/packs. iso minus
+    iso-raw attributes the glue share of each attention call."""
+    import jax
+    import jax.numpy as jnp
+
+    import ecg_denoise_tpu.kernels.attention_pallas as ap
+
+    total = 0.0
+    per_stage = {}
+    for (L, C, H, n) in STAGES:
+        D = 4
+        P = ap._pack_factor(batch, H, L)
+        Hp, Lp = H // P, P * L
+        key = jax.random.PRNGKey(L)
+        q = jax.random.normal(key, (batch, Hp, D, Lp), dtype)
+        bias = ap._block_diag_bias(None, H, L, P) if P > 1 else \
+            jnp.zeros((H, L, L), jnp.float32)
+
+        def one(v):
+            return ap._fwd_call(v, v, v, bias, Hp, Lp).astype(v.dtype)
+
+        dt = timed(one, q, iters, chain)
+        per_stage[f"L{L}_H{H}"] = per_stage.get(f"L{L}_H{H}", 0.0) + dt * n
+        total += dt * n
+    return total, per_stage
+
+
 def build_fwd(args, patches=()):
     """Return a forward fn with the requested primitives patched out."""
     import jax
@@ -194,6 +223,11 @@ def main():
                                          args.chain, use_pallas=True)
         out["attn_iso_pallas_us"] = us(total)
         out["attn_iso_pallas_stages_us"] = {k: us(v) for k, v in per_stage.items()}
+    if "iso-raw" in wanted:
+        total, per_stage = attn_isolated_raw(args.batch, args.dtype,
+                                             args.iters, args.chain)
+        out["attn_iso_raw_us"] = us(total)
+        out["attn_iso_raw_stages_us"] = {k: us(v) for k, v in per_stage.items()}
     if "iso-xla" in wanted:
         total, _ = attn_isolated(args.batch, args.dtype, args.iters,
                                  args.chain, use_pallas=False)
