@@ -333,8 +333,10 @@ def _bwd(q, k, v, bias, g):
                     dbias_dtype=bias.dtype if bias is not None else None)
 
 
-def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
-    B, _, _, D = q.shape
+def _bwd_call(qt, kt, vt, bias, gt, H, L, *, want_dbias):
+    """Raw backward launch on pre-transposed (B, H, D, L) operands;
+    returns (dq, dk, dv) in (B, H, D, L) plus dbias (H, L, L) f32."""
+    B, _, D, _ = qt.shape
     has_bias = bias is not None
     if has_bias and want_dbias:
         kernel = _bwd_kernel
@@ -349,10 +351,9 @@ def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
     G = _group_size(B, H, L)
     in_specs = [_elem_spec(G, H, D, L)] * 3 \
         + ([_bias_spec(H, L)] if has_bias else []) + [_elem_spec(G, H, D, L)]
-    qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g))
     args = (qt, kt, vt) + ((bias,) if has_bias else ()) + (gt,)
     out_specs = [_elem_spec(G, H, D, L)] * 3
-    out_shape = [jax.ShapeDtypeStruct((B, H, D, L), q.dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((B, H, D, L), qt.dtype)] * 3
     if has_bias and want_dbias:
         out_specs.append(_bias_spec(H, L))
         out_shape.append(jax.ShapeDtypeStruct((H, L, L), jnp.float32))
@@ -364,18 +365,25 @@ def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (5 * L * L * D + 3 * L * L),
-            bytes_accessed=q.size * 4 * 8,
+            bytes_accessed=qt.size * 4 * 8,
             transcendentals=B * H * L * L,
         ),
         interpret=_INTERPRET,
     )(*args)
     if has_bias and want_dbias:
         dq, dk, dv, dbias = outs
-        if dbias_dtype is not None:
-            dbias = dbias.reshape(1, H, L, L).astype(dbias_dtype)
     else:
         dq, dk, dv = outs
         dbias = None
+    return dq, dk, dv, dbias
+
+
+def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
+    qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g))
+    dq, dk, dv, dbias = _bwd_call(qt, kt, vt, bias, gt, H, L,
+                                  want_dbias=want_dbias)
+    if dbias is not None and dbias_dtype is not None:
+        dbias = dbias.reshape(1, H, L, L).astype(dbias_dtype)
     dq, dk, dv = (a.transpose(0, 1, 3, 2) for a in (dq, dk, dv))
     return dq, dk, dv, dbias
 
@@ -591,3 +599,70 @@ def _fused_bwd(res, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --- glue-free stream interface (round-3c) ----------------------------------
+#
+# The dma-mode ablation showed a compute-free kernel still costs ~40% of
+# the attention share: per-call XLA glue (the (B, H, L, D) transposes in
+# LinearProjection -> _pack -> _fwd_raw -> epilogue, 4 relayouts) plus the
+# launch floor. This interface goes straight from the projections'
+# (B, L, H*D) stream layout to the kernel's packed (B, H/P, D, P*L)
+# operand layout in ONE fused 5D transpose each way.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention_packed(qp, kp, vp, bias_bd, Hp: int, Lp: int):
+    """Attention on pre-packed (B, H/P, D, P*L) operands with a packed
+    block-diagonal (H/P, P*L, P*L) bias (which doubles as the -inf packing
+    mask). Returns (B, H/P, D, P*L)."""
+    return _fwd_call(qp, kp, vp, bias_bd, Hp, Lp)
+
+
+def _fap_fwd(qp, kp, vp, bias_bd, Hp, Lp):
+    return _fwd_call(qp, kp, vp, bias_bd, Hp, Lp), (qp, kp, vp, bias_bd)
+
+
+def _fap_bwd(Hp, Lp, res, g):
+    qp, kp, vp, bias_bd = res
+    dq, dk, dv, dbias = _bwd_call(qp, kp, vp, bias_bd, g, Hp, Lp,
+                                  want_dbias=True)
+    return dq, dk, dv, dbias.astype(bias_bd.dtype)
+
+
+_fused_attention_packed.defvjp(_fap_fwd, _fap_bwd)
+
+
+def fused_attention_blc(q2, k2, v2, bias, num_heads: int):
+    """softmax(q @ k^T + bias) @ v on (B, L, H*D) stream-layout operands.
+
+    q2 is pre-scaled. bias: None or (1, H, L, L). Head h of token m lives
+    at channels [h*D, (h+1)*D) — exactly the projections' output layout
+    (reference transformer.py:298-320 semantics), so no (B, H, L, D)
+    intermediate ever exists. Differentiable (packing/unpacking is plain
+    jax; the kernel pair is the custom-VJP above)."""
+    B, L, inner = q2.shape
+    H = num_heads
+    D = inner // H
+    P = _pack_factor(B, H, L)
+    Hp, Lp = H // P, P * L
+
+    def pack(a2):
+        a5 = a2.reshape(B, L, Hp, P, D).transpose(0, 2, 4, 3, 1)
+        return a5.reshape(B, Hp, D, Lp)
+
+    bias_bd = _block_diag_bias(
+        bias.reshape(H, L, L) if bias is not None else None, H, L, P)
+    out = _fused_attention_packed(pack(q2), pack(k2), pack(v2),
+                                  bias_bd, Hp, Lp)
+    return (out.reshape(B, Hp, D, P, L)
+            .transpose(0, 4, 1, 3, 2)
+            .reshape(B, L, inner))
+
+
+def blc_wanted() -> bool:
+    """ECG_ATTN_GLUE=blc routes MSAttention through the stream-layout
+    interface (A/B experiment knob, read at trace time)."""
+    import os
+
+    return os.environ.get("ECG_ATTN_GLUE", "") == "blc"

@@ -148,6 +148,8 @@ class LinearProjection(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    raw: bool = False  # return (B, N, inner) streams (no head split)
+
     @nn.compact
     def __call__(self, x, attn_kv=None):
         B, N, _ = x.shape
@@ -156,6 +158,10 @@ class LinearProjection(nn.Module):
         n_kv = attn_kv.shape[1]
         q = Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
         kv = Dense(2 * inner, use_bias=self.use_bias, dtype=self.dtype, name="to_kv")(attn_kv)
+        if self.raw:
+            # kv layout (B, n, 2*inner): k occupies [:inner] (the j index
+            # of the reshape below is major), v the rest.
+            return q, kv[..., :inner], kv[..., inner:]
         q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         kv = kv.reshape(B, n_kv, 2, self.heads, self.dim_head).transpose(2, 0, 3, 1, 4)
         return q, kv[0], kv[1]
@@ -177,6 +183,23 @@ class MSAttention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
+        if self.use_pallas and not isinstance(mask, RPosBias) and (
+                mask is None or mask.shape[0] == 1):
+            from ecg_denoise_tpu.kernels.attention_pallas import (
+                blc_wanted,
+                fused_attention_blc,
+            )
+
+            if blc_wanted():
+                # Stream-layout path: projections -> packed kernel with
+                # one fused transpose each way (no (B, H, L, D)
+                # intermediates; see fused_attention_blc).
+                q2, k2, v2 = LinearProjection(
+                    self.dim, self.num_heads, head_dim, self.qkv_bias,
+                    dtype=self.dtype, raw=True, name="qkv_proj")(x)
+                out = fused_attention_blc(q2 * scale, k2, v2, mask,
+                                          self.num_heads)
+                return Dense(self.dim, dtype=self.dtype, name="proj")(out)
         q, k, v = LinearProjection(
             self.dim, self.num_heads, head_dim, self.qkv_bias, dtype=self.dtype, name="qkv_proj"
         )(x)

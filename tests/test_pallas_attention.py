@@ -143,3 +143,53 @@ def test_ralenet_per_window_rpos_pallas_vs_xla():
     out = m_p.apply(variables, x, train=False, r_pos=r_pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("L,H", [(256, 2), (32, 8), (16, 32)])
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_fused_attention_blc_parity(L, H, with_bias):
+    """Stream-layout interface vs the XLA path (fwd + grads): same math,
+    no (B, H, L, D) intermediates."""
+    B, D = 3, 4
+    q2, k2, v2 = (_rand((B, L, H * D), i) for i in range(3))
+    bias = _rand((1, H, L, L), 7) if with_bias else None
+
+    def split(a2):
+        return a2.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+    def loss_ref(q2, k2, v2, bias):
+        out = multi_head_attention(split(q2), split(k2), split(v2), bias)
+        return jnp.sum(out.transpose(0, 2, 1, 3).reshape(B, L, H * D) ** 2)
+
+    def loss_blc(q2, k2, v2, bias):
+        return jnp.sum(ap.fused_attention_blc(q2, k2, v2, bias, H) ** 2)
+
+    argnums = (0, 1, 2, 3) if with_bias else (0, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(ap.fused_attention_blc(q2, k2, v2, bias, H)),
+        np.asarray(multi_head_attention(split(q2), split(k2), split(v2), bias)
+                   .transpose(0, 2, 1, 3).reshape(B, L, H * D)),
+        atol=1e-5)
+    g_ref = jax.grad(loss_ref, argnums)(q2, k2, v2, bias)
+    g_blc = jax.grad(loss_blc, argnums)(q2, k2, v2, bias)
+    for a, b in zip(g_blc, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ralenet_blc_matches_xla(monkeypatch):
+    """Full RaleNet forward with ECG_ATTN_GLUE=blc vs the XLA model."""
+    monkeypatch.setenv("ECG_ATTN_GLUE", "blc")
+    from ecg_denoise_tpu.models import RaleNet
+
+    x = _rand((4, 2, 256), 0)
+    m_x = RaleNet(variant="full")
+    variables = jax.jit(lambda: m_x.init(jax.random.PRNGKey(0), x,
+                                         train=False))()
+    variables = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 2 and a.shape[-1] in (2, 4, 8, 16)
+        else a, variables)
+    ref = m_x.apply(variables, x, train=False)
+    m_p = RaleNet(variant="full", use_pallas=True)
+    out = m_p.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
