@@ -151,12 +151,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
     if mode == "nosm":
         probs = (logits * 1e-3).astype(v.dtype)
     else:
-        probs = _softmax_f32(logits).astype(v.dtype)
+        # Softmax with the SUM and DIVIDE folded into the pv matmul (the
+        # r3c ablation attributed ~2 ms/stage to softmax, mostly its two
+        # 128-lane tree reductions + the full-tile divide): augment v with
+        # a ones row so the pv contraction emits sum_m e[l, m] as a free
+        # extra output row (D=4 pads to 8 sublanes anyway), then divide
+        # the (D, L) output by it — a sublane-broadcast, not a lane tree.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits - m).astype(v.dtype)  # unnormalized
     if mode == "nopv":
         out = probs[:, :D, :]
     else:
-        # out[d, l] = sum_m v[d, m] p[l, m]
-        out = _bmm(v, probs, ((2,), (2,)))  # (G*H, D, L)
+        ones = jnp.ones((G * H, 1, L), v.dtype)
+        vx = jnp.concatenate([v, ones], axis=1)  # (G*H, D+1, M)
+        # of[j, l] = sum_m vx[j, m] e[l, m]; row D is the softmax sum.
+        of = _bmm(vx, probs, ((2,), (2,)))  # (G*H, D+1, L) f32
+        out = of[:, :D, :] / of[:, D:, :]
+        if mode == "nosm":  # keep the ablation comparable: no normalizer
+            out = of[:, :D, :]
     o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
@@ -429,8 +441,15 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref):
         blk = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0) // L \
             == jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
         l4 = l4 + jnp.where(blk, 0.0, _NEG_INF)[None, None]
-    probs = _softmax_f32(l4.reshape(G * Hp, PL, PL)).astype(v.dtype)
-    out = _bmm(v, probs, ((2,), (2,)))
+    # Sum/divide folded into pv via a ones row (see _fwd_kernel note).
+    lg = l4.reshape(G * Hp, PL, PL)
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    en = jnp.exp(lg - mx).astype(v.dtype)
+    E, D = G * Hp, v.shape[1]
+    ones = jnp.ones((E, 1, PL), v.dtype)
+    vx = jnp.concatenate([v, ones], axis=1)
+    of = _bmm(vx, en, ((2,), (2,)))  # (E, D+1, PL) f32
+    out = of[:, :D, :] / of[:, D:, :]
     o_ref[:] = out.reshape(G, Hp, D, PL).astype(o_ref.dtype)
 
 
@@ -497,6 +516,29 @@ def fused_attention_rpos(q, k, v, toep, W: int, offsets=None):
     return _rpos_fwd_impl(q, k, v, toep, W, offsets)
 
 
+def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp):
+    """Raw rpos launch on pre-transposed (B, Hp, D, Lp) packed operands."""
+    B, _, D, _ = qt.shape
+    G = _group_size(B, Hp, Lp)
+    if G > 1:
+        G //= 2  # masked-bias temp doubles the working set
+    kernel = functools.partial(_fwd_rpos_kernel, W, L)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
+        + [_bias_spec(Hp, Lp), _off_spec(G)],
+        out_specs=_elem_spec(G, Hp, D, Lp),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, D, Lp), qt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hp * (2 * Lp * Lp * D + Lp * Lp),
+            bytes_accessed=qt.size * 4 * 4,
+            transcendentals=B * Hp * Lp * Lp,
+        ),
+        interpret=_INTERPRET,
+    )(qt, kt, vt, toep_bd, off)
+
+
 def _rpos_fwd_impl(q, k, v, toep, W, offsets):
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
@@ -504,25 +546,8 @@ def _rpos_fwd_impl(q, k, v, toep, W, offsets):
     qp, kp, vp = (_pack(a, B, H, L, D, P) for a in (q, k, v))
     toep_bd = _pack_toep(toep, H, L, P)
     off = offsets.reshape(B, 1, 1).astype(jnp.float32)
-    G = _group_size(B, Hp, Lp)
-    if G > 1:
-        G //= 2  # masked-bias temp doubles the working set
     qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (qp, kp, vp))
-    kernel = functools.partial(_fwd_rpos_kernel, W, L)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // G,),
-        in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
-        + [_bias_spec(Hp, Lp), _off_spec(G)],
-        out_specs=_elem_spec(G, Hp, D, Lp),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, D, Lp), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Hp * (2 * Lp * Lp * D + Lp * Lp),
-            bytes_accessed=q.size * 4 * 4,
-            transcendentals=B * Hp * Lp * Lp,
-        ),
-        interpret=_INTERPRET,
-    )(qt, kt, vt, toep_bd, off)
+    out = _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp)
     return out.transpose(0, 1, 3, 2).reshape(B, H, L, D)
 
 
@@ -541,6 +566,31 @@ def _rpos_fwd(q, k, v, toep, W, offsets):
     return _rpos_fwd_impl(q, k, v, toep, W, offsets), (q, k, v, toep, offsets)
 
 
+def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, W, L, Hp, Lp):
+    """Raw rpos backward launch; returns grads in packed layouts plus the
+    packed (Hp, Lp, Lp) f32 dtoep."""
+    B, _, D, _ = qt.shape
+    G = _group_size(B, Hp, Lp)
+    if G > 1:
+        G //= 2
+    kernel = functools.partial(_bwd_rpos_kernel, W, L)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
+        + [_bias_spec(Hp, Lp), _off_spec(G), _elem_spec(G, Hp, D, Lp)],
+        out_specs=[_elem_spec(G, Hp, D, Lp)] * 3 + [_bias_spec(Hp, Lp)],
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, D, Lp), qt.dtype)] * 3
+        + [jax.ShapeDtypeStruct((Hp, Lp, Lp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hp * (5 * Lp * Lp * D + 3 * Lp * Lp),
+            bytes_accessed=qt.size * 4 * 8,
+            transcendentals=B * Hp * Lp * Lp,
+        ),
+        interpret=_INTERPRET,
+    )(qt, kt, vt, toep_bd, off, gt)
+
+
 def _rpos_bwd(W, res, g):
     q, k, v, toep, offsets = res
     B, H, L, D = q.shape
@@ -549,27 +599,9 @@ def _rpos_bwd(W, res, g):
     qp, kp, vp, gp = (_pack(a, B, H, L, D, P) for a in (q, k, v, g))
     toep_bd = _pack_toep(toep, H, L, P)
     off = offsets.reshape(B, 1, 1).astype(jnp.float32)
-    G = _group_size(B, Hp, Lp)
-    if G > 1:
-        G //= 2
     qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (qp, kp, vp, gp))
-    kernel = functools.partial(_bwd_rpos_kernel, W, L)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B // G,),
-        in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
-        + [_bias_spec(Hp, Lp), _off_spec(G), _elem_spec(G, Hp, D, Lp)],
-        out_specs=[_elem_spec(G, Hp, D, Lp)] * 3 + [_bias_spec(Hp, Lp)],
-        out_shape=[jax.ShapeDtypeStruct((B, Hp, D, Lp), q.dtype)] * 3
-        + [jax.ShapeDtypeStruct((Hp, Lp, Lp), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Hp * (5 * Lp * Lp * D + 3 * Lp * Lp),
-            bytes_accessed=q.size * 4 * 8,
-            transcendentals=B * Hp * Lp * Lp,
-        ),
-        interpret=_INTERPRET,
-    )(qt, kt, vt, toep_bd, off, gt)
-    dq, dk, dv, dtoep = outs
+    dq, dk, dv, dtoep = _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt,
+                                       W, L, Hp, Lp)
     dq, dk, dv = (a.transpose(0, 1, 3, 2).reshape(B, H, L, D)
                   for a in (dq, dk, dv))
     dtoep = _unpack_dbias(dtoep, H, L, P).reshape(1, H, L, L).astype(toep.dtype)
@@ -577,6 +609,50 @@ def _rpos_bwd(W, res, g):
 
 
 fused_attention_rpos.defvjp(_rpos_fwd, _rpos_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _rpos_packed(qp, kp, vp, toep_bd, off, W: int, L: int, Hp: int, Lp: int):
+    """rpos attention on pre-packed (B, Hp, D, Lp) operands (blc path)."""
+    return _rpos_call(qp, kp, vp, toep_bd, off, W, L, Hp, Lp)
+
+
+def _rp_fwd(qp, kp, vp, toep_bd, off, W, L, Hp, Lp):
+    return (_rpos_call(qp, kp, vp, toep_bd, off, W, L, Hp, Lp),
+            (qp, kp, vp, toep_bd, off))
+
+
+def _rp_bwd(W, L, Hp, Lp, res, g):
+    qp, kp, vp, toep_bd, off = res
+    dq, dk, dv, dtoep = _rpos_bwd_call(qp, kp, vp, toep_bd, off, g,
+                                       W, L, Hp, Lp)
+    return dq, dk, dv, dtoep.astype(toep_bd.dtype), jnp.zeros_like(off)
+
+
+_rpos_packed.defvjp(_rp_fwd, _rp_bwd)
+
+
+def fused_attention_rpos_blc(q2, k2, v2, toep, W: int, offsets,
+                             num_heads: int):
+    """Per-window R-peak attention on (B, L, H*D) stream-layout operands
+    (see fused_attention_blc for the layout contract)."""
+    B, L, inner = q2.shape
+    H = num_heads
+    D = inner // H
+    P = _pack_factor(B, H, L)
+    Hp, Lp = H // P, P * L
+
+    def pack(a2):
+        a5 = a2.reshape(B, L, Hp, P, D).transpose(0, 2, 4, 3, 1)
+        return a5.reshape(B, Hp, D, Lp)
+
+    toep_bd = _pack_toep(toep, H, L, P)
+    off = offsets.reshape(B, 1, 1).astype(jnp.float32)
+    out = _rpos_packed(pack(q2), pack(k2), pack(v2), toep_bd, off,
+                       W, L, Hp, Lp)
+    return (out.reshape(B, Hp, D, P, L)
+            .transpose(0, 4, 1, 3, 2)
+            .reshape(B, L, inner))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -183,6 +183,20 @@ class MSAttention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
+        if self.use_pallas and isinstance(mask, RPosBias):
+            from ecg_denoise_tpu.kernels.attention_pallas import (
+                blc_wanted,
+                fused_attention_rpos_blc,
+            )
+
+            if blc_wanted():
+                q2, k2, v2 = LinearProjection(
+                    self.dim, self.num_heads, head_dim, self.qkv_bias,
+                    dtype=self.dtype, raw=True, name="qkv_proj")(x)
+                out = fused_attention_rpos_blc(q2 * scale, k2, v2, mask.toep,
+                                               mask.W, mask.offsets,
+                                               self.num_heads)
+                return Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if self.use_pallas and not isinstance(mask, RPosBias) and (
                 mask is None or mask.shape[0] == 1):
             from ecg_denoise_tpu.kernels.attention_pallas import (

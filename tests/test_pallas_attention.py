@@ -193,3 +193,58 @@ def test_ralenet_blc_matches_xla(monkeypatch):
     out = m_p.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_rpos_blc_parity():
+    """Stream-layout rpos interface vs the materialized XLA bias (fwd +
+    grads), including edge-truncating offsets."""
+    B, H, L, D, W = 4, 16, 32, 4, 4
+    q2, k2, v2 = (_rand((B, L, H * D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    offsets = (jnp.asarray([0, 10, 16, 31], jnp.int32) - W // 2).astype(
+        jnp.float32)
+
+    def split(a2):
+        return a2.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+    def loss_ref(q2, k2, v2, toep):
+        bias = _materialize_rpos(toep, offsets, W)
+        out = multi_head_attention(split(q2), split(k2), split(v2), bias)
+        return jnp.sum(out.transpose(0, 2, 1, 3).reshape(B, L, H * D) ** 2)
+
+    def loss_blc(q2, k2, v2, toep):
+        return jnp.sum(ap.fused_attention_rpos_blc(
+            q2, k2, v2, toep, W, offsets, H) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(ap.fused_attention_rpos_blc(q2, k2, v2, toep, W,
+                                               offsets, H)),
+        np.asarray(multi_head_attention(
+            split(q2), split(k2), split(v2),
+            _materialize_rpos(toep, offsets, W))
+            .transpose(0, 2, 1, 3).reshape(B, L, H * D)),
+        atol=1e-5)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q2, k2, v2, toep)
+    g_blc = jax.grad(loss_blc, (0, 1, 2, 3))(q2, k2, v2, toep)
+    for a, b in zip(g_blc, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ralenet_rpos_blc_matches_xla(monkeypatch):
+    """Full RaleNet with per-window r_pos under ECG_ATTN_GLUE=blc."""
+    monkeypatch.setenv("ECG_ATTN_GLUE", "blc")
+    from ecg_denoise_tpu.models import RaleNet
+
+    x = _rand((4, 2, 256), 0)
+    r_pos = jnp.asarray([10, 100, 180, 250], jnp.int32)
+    m_x = RaleNet(variant="full")
+    variables = jax.jit(lambda: m_x.init(jax.random.PRNGKey(0), x,
+                                         train=False))()
+    variables = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 2 and a.shape[-1] in (2, 4, 8, 16)
+        else a, variables)
+    ref = m_x.apply(variables, x, train=False, r_pos=r_pos)
+    m_p = RaleNet(variant="full", use_pallas=True)
+    out = m_p.apply(variables, x, train=False, r_pos=r_pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
