@@ -217,6 +217,141 @@ def _bias_spec(H, L):
                         memory_space=pltpu.VMEM)
 
 
+# --- dense K-packed forward (round-3c) --------------------------------------
+#
+# The lane-packed (P*L, P*L) block-diagonal form computes P-fold redundant
+# off-block logits: max/exp/cast touch 128x128 tiles of which only 1/P is
+# useful. This forward computes logits DENSE as (L, P*L) — every lane a
+# real (head, m) element — via an in-kernel block-diagonal K built by
+# sublane-tiling + iota masking (no transposes, no gathers):
+#
+#   q arrives (B, H/P, L, P*D)   [lane index p*D + d]
+#   BD_K[(p', d), (p, m)] = k[p, m, d] * (p == p')   (P*D, P*L)
+#   logits = q @ BD_K -> (L, P*L), exact per-head values, no -1e9 filler.
+#
+# Softmax: the global row max (over all P segments) is subtracted — exact
+# after normalization since each segment's sum shrinks by the same factor
+# (underflow only if segments sit > ~87 logits apart; f32 e and a 1e-37
+# sum clamp guard the degenerate case). Per-segment sums ride the pv
+# matmul: v is augmented with a ones row BEFORE tiling, so the block mask
+# itself becomes the per-segment summer:
+#
+#   BD_V[(p', j), (p, m)] = vx[p, m, j] * (p == p'),  vx = [v; 1]
+#   of = BD_V @ e^T -> (P*(D+1), L); row (p, D) = sum_{m in p} e[l, (p,m)].
+
+
+def _fwd_dense_kernel(P, L, D, q_ref, k_ref, v_ref, bias_ref, o_ref):
+    G, Hg, _, PD = q_ref.shape
+    E = G * Hg
+    PL = P * L
+    q = q_ref[:].reshape(E, L, PD)
+    k = k_ref[:].reshape(E, D, PL)
+    v = v_ref[:].reshape(E, D, PL)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (PD, PL), 0) // D
+    lan = jax.lax.broadcasted_iota(jnp.int32, (PD, PL), 1) // L
+    kt = jnp.concatenate([k] * P, axis=1)  # (E, P*D, P*L), row (p', d)
+    bdk = jnp.where((sub == lan)[None], kt, 0).astype(k.dtype)
+    logits = _bmm(q, bdk, ((2,), (1,)))  # (E, L, P*L) f32
+    if bias_ref is not None:
+        bias = bias_ref[:].astype(jnp.float32)  # (Hg, L, P*L) lane-packed
+        logits = (logits.reshape(G, Hg, L, PL) + bias).reshape(E, L, PL)
+    mx = jnp.max(logits, axis=-1, keepdims=True)  # global row max
+    en = jnp.exp(logits - mx).astype(v.dtype)
+
+    D1 = D + 1
+    ones = jnp.ones((E, 1, PL), v.dtype)
+    vx = jnp.concatenate([v, ones], axis=1)  # (E, D+1, P*L)
+    subv = jax.lax.broadcasted_iota(jnp.int32, (P * D1, PL), 0) // D1
+    lanv = jax.lax.broadcasted_iota(jnp.int32, (P * D1, PL), 1) // L
+    vt = jnp.concatenate([vx] * P, axis=1)  # (E, P*(D+1), P*L)
+    bdv = jnp.where((subv == lanv)[None], vt, 0).astype(v.dtype)
+    of = _bmm(bdv, en, ((2,), (2,)))  # (E, P*(D+1), L) f32
+    parts = []
+    for p in range(P):
+        num = of[:, p * D1:p * D1 + D, :]
+        den = jnp.maximum(of[:, p * D1 + D:p * D1 + D1, :], 1e-37)
+        parts.append(num / den)
+    out = jnp.concatenate(parts, axis=1)  # (E, P*D, L), (p, d) sublane order
+    o_ref[:] = out.reshape(G, Hg * P, D, L).astype(o_ref.dtype)
+
+
+def _dense_group_size(B, Hg, L, P, D):
+    """Divisor of B keeping the dense-forward working set in budget
+    (padded f32 elements, same convention as _group_size)."""
+    PL, PD = P * L, P * D
+    lsub = -(-L // 8) * 8
+    per_b = Hg * (2 * lsub * PL            # logits f32 + en
+                  + 2 * 128 * PL           # bdk + bdv (PD, P(D+1) pad to 128)
+                  + 2 * lsub * max(PD, 128)  # q block + out
+                  + 2 * 8 * PL)            # k + v blocks
+    budget = _max_padded()
+    for g in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if B % g == 0 and g * per_b <= budget:
+            return g
+    return 1
+
+
+def _dense_wanted() -> bool:
+    """ECG_ATTN_DENSE=1 routes packable small-L stages through the dense
+    K-packed forward (A/B knob, read at trace time)."""
+    import os
+
+    return os.environ.get("ECG_ATTN_DENSE", "0") == "1"
+
+
+def _pack_q_dense(q, B, H, L, D, P):
+    # (B, H, L, D) -> (B, H/P, L, P*D): lane index p*D + d.
+    return (q.reshape(B, H // P, P, L, D)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, H // P, L, P * D))
+
+
+def _pack_bias_lanes(bias, H, L, P):
+    # (H, L, L) -> (H/P, L, P*L): lane index p*L + m.
+    return (bias.reshape(H // P, P, L, L)
+            .transpose(0, 2, 1, 3)
+            .reshape(H // P, L, P * L))
+
+
+def _fwd_dense(q, k, v, bias, P):
+    B, H, L, D = q.shape
+    Hg = H // P
+    qp = _pack_q_dense(q, B, H, L, D, P)
+    kp, vp = (_pack(a, B, H, L, D, P).transpose(0, 1, 3, 2) for a in (k, v))
+    has_bias = bias is not None
+    bp = _pack_bias_lanes(bias.reshape(H, L, L), H, L, P) if has_bias else None
+    G = _dense_group_size(B, Hg, L, P, D)
+    kernel = functools.partial(_fwd_dense_kernel, P, L, D)
+    if not has_bias:
+        kernel = functools.partial(
+            lambda kf, qr, kr, vr, orf: kf(qr, kr, vr, None, orf), kernel)
+    in_specs = [pl.BlockSpec((G, Hg, L, P * D), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, Hg, D, P * L), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, Hg, D, P * L), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((Hg, L, P * L), lambda b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    args = (qp, kp, vp) + ((bp,) if has_bias else ())
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=_elem_spec(G, H, D, L),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, L), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (2 * L * L * D + L * L),
+            bytes_accessed=q.size * 4 * 4,
+            transcendentals=B * H * L * L,
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+    return out.transpose(0, 1, 3, 2)  # (B, H, L, D)
+
+
 # Off-diagonal-block logit penalty for lane packing. exp(-1e9 - max) == 0
 # in f32, so packed windows can never attend across block boundaries.
 _NEG_INF = -1e9
@@ -276,6 +411,10 @@ def _pack(a, B, H, L, D, P):
 def _fwd(q, k, v, bias):
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
+    if P > 1 and _dense_wanted() and not _ablate_mode():
+        return _fwd_dense(q, k, v,
+                          bias.reshape(1, H, L, L) if bias is not None
+                          else None, P)
     if P > 1:
         Hp, Lp = H // P, P * L
         qp, kp, vp = (_pack(a, B, H, L, D, P) for a in (q, k, v))
