@@ -46,11 +46,33 @@ def _softmax_f32(logits):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _bmm(a, b, contract, batch=((0,), (0,))):
-    """Batched (over heads) matmul in f32."""
+def _bmm(a, b, contract, batch=((0,), (0,)), precision=None):
+    """Batched (over heads) matmul with f32 accumulation.
+
+    Mosaic's DEFAULT precision rounds f32 INPUTS to bf16 (single MXU
+    pass) — measured on v5e: med rel error 2.4e-3, bit-identical to a
+    host bf16-rounding prediction (runs/probe_precision.log). Pass
+    precision=HIGHEST where f32 operands must keep full precision.
+    """
     return jax.lax.dot_general(
-        a, b, (contract, batch), preferred_element_type=jnp.float32
+        a, b, (contract, batch), preferred_element_type=jnp.float32,
+        precision=precision,
     )
+
+
+def _pv_precision(dtype):
+    """Precision for the pv matmul that carries the folded softmax sum.
+
+    The ones-row fold makes the normalizer a matmul output; at DEFAULT
+    precision its bf16 input rounding becomes a CORRELATED per-row scale
+    error (~1e-3) on the whole output — unlike the random-signed
+    elementwise matmul errors, it never cancels in aggregates, which is
+    what broke the on-chip value-level tests after the fold
+    (runs/tpu_kernel_tests_r3b.log vs runs/probe_precision.log: fold at
+    HIGHEST is med 9e-7, at DEFAULT med 1.7e-3). bf16 operands are
+    MXU-native single-pass, so HIGHEST only costs on the f32 path.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
 def _qk_vpu() -> bool:
@@ -165,7 +187,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
         ones = jnp.ones((G * H, 1, L), v.dtype)
         vx = jnp.concatenate([v, ones], axis=1)  # (G*H, D+1, M)
         # of[j, l] = sum_m vx[j, m] e[l, m]; row D is the softmax sum.
-        of = _bmm(vx, probs, ((2,), (2,)))  # (G*H, D+1, L) f32
+        of = _bmm(vx, probs, ((2,), (2,)),
+                  precision=_pv_precision(v.dtype))  # (G*H, D+1, L) f32
         out = of[:, :D, :] / of[:, D:, :]
         if mode == "nosm":  # keep the ablation comparable: no normalizer
             out = of[:, :D, :]
@@ -266,7 +289,8 @@ def _fwd_dense_kernel(P, L, D, q_ref, k_ref, v_ref, bias_ref, o_ref):
     lanv = jax.lax.broadcasted_iota(jnp.int32, (P * D1, PL), 1) // L
     vt = jnp.concatenate([vx] * P, axis=1)  # (E, P*(D+1), P*L)
     bdv = jnp.where((subv == lanv)[None], vt, 0).astype(v.dtype)
-    of = _bmm(bdv, en, ((2,), (2,)))  # (E, P*(D+1), L) f32
+    of = _bmm(bdv, en, ((2,), (2,)),
+              precision=_pv_precision(v.dtype))  # (E, P*(D+1), L) f32
     parts = []
     for p in range(P):
         num = of[:, p * D1:p * D1 + D, :]
@@ -587,7 +611,8 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref):
     E, D = G * Hp, v.shape[1]
     ones = jnp.ones((E, 1, PL), v.dtype)
     vx = jnp.concatenate([v, ones], axis=1)
-    of = _bmm(vx, en, ((2,), (2,)))  # (E, D+1, PL) f32
+    of = _bmm(vx, en, ((2,), (2,)),
+              precision=_pv_precision(v.dtype))  # (E, D+1, PL) f32
     out = of[:, :D, :] / of[:, D:, :]
     o_ref[:] = out.reshape(G, Hp, D, PL).astype(o_ref.dtype)
 

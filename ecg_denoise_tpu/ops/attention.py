@@ -104,30 +104,13 @@ def multi_head_attention(
             from ecg_denoise_tpu.kernels.attention_pallas import (
                 fused_attention_rpos,
             )
-            from ecg_denoise_tpu.kernels.attention_vpu import (
-                vpu_attention_rpos,
-                vpu_wanted,
-            )
 
-            if vpu_wanted(q.shape[2], q.shape[1]):
-                return vpu_attention_rpos(q, k, v, bias.toep, bias.W,
-                                          bias.offsets)
             return fused_attention_rpos(q, k, v, bias.toep, bias.W,
                                         bias.offsets)
         bias = bias.materialize()
     elif use_pallas and (bias is None or bias.shape[0] == 1):
         from ecg_denoise_tpu.kernels.attention_pallas import fused_attention
-        from ecg_denoise_tpu.kernels.attention_vpu import (
-            vpu_attention,
-            vpu_wanted,
-        )
 
-        # Engine split (docs/PROFILE_r3.md §4): the MXU kernel is
-        # issue-bound at ~B*H*L cycles/call with D=4, so the small-L
-        # stages run on the VPU engine where the cost is ~D*L^2/1024
-        # cycles/head instead. ECG_ATTN_ENGINE overrides for A/B.
-        if vpu_wanted(q.shape[2], q.shape[1]):
-            return vpu_attention(q, k, v, bias)
         return fused_attention(q, k, v, bias)
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     logits = jnp.einsum("bhld,bhmd->bhlm", q, k,

@@ -1,5 +1,8 @@
 #!/usr/bin/env bash
 # Round-3b: measure the VPU attention engine on the real chip.
+# HISTORICAL: produced runs/r3b_vpu_*.log. The VPU engine measured here
+# was subsequently REMOVED (4x slower + on-chip numerics divergence; see
+# docs/PROFILE_r3.md) — ECG_ATTN_ENGINE no longer exists.
 # 1) iso per-stage attention with ECG_ATTN_ENGINE=auto (VPU at L<=64)
 # 2) full-model forward with the engine on
 # 3) sensitivity: VPU at L<=128 too

@@ -242,69 +242,3 @@ def test_use_pallas_train_step_on_chip():
     ev = jax.device_get(eval_epoch(state, noisy, clean, bs))
     assert np.isfinite(ev["snr"])
 
-
-# --- VPU attention engine (round-3b) ----------------------------------------
-
-
-def test_vpu_attention_fwd_bwd_on_chip():
-    """attention_vpu.vpu_attention fwd + custom-VJP bwd at the two
-    smallest model stages, Mosaic-compiled, vs the XLA einsum oracle."""
-    from ecg_denoise_tpu.kernels.attention_vpu import vpu_attention
-
-    for (L, H) in ((16, 32), (64, 8)):
-        B, D = 64, 4
-        ks = jax.random.split(jax.random.PRNGKey(L), 5)
-        q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
-        k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
-        v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
-        bias = 0.1 * jax.random.normal(ks[3], (1, H, L, L), jnp.float32)
-        cot = jax.random.normal(ks[4], (B, H, L, D), jnp.float32)
-
-        def loss_k(q, k, v, bias):
-            return jnp.sum(vpu_attention(q, k, v, bias) * cot)
-
-        def loss_o(q, k, v, bias):
-            return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
-
-        vk, gk = jax.jit(jax.value_and_grad(loss_k, (0, 1, 2, 3)))(q, k, v, bias)
-        vo, go = jax.jit(jax.value_and_grad(loss_o, (0, 1, 2, 3)))(q, k, v, bias)
-        np.testing.assert_allclose(float(vk), float(vo), rtol=2e-5)
-        for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dbias")):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=2e-4, rtol=2e-3,
-                                       err_msg=f"L={L} {name}")
-
-
-def test_vpu_attention_rpos_on_chip():
-    """Per-window R-peak VPU kernel fwd + bwd at a packed stage shape."""
-    from ecg_denoise_tpu.kernels.attention_vpu import vpu_attention_rpos
-    from ecg_denoise_tpu.ops.attention import RPosBias
-
-    L, W, H, B, D = 32, 4, 16, 64, 4
-    ks = jax.random.split(jax.random.PRNGKey(W), 5)
-    q = jax.random.normal(ks[0], (B, H, L, D), jnp.float32)
-    k = jax.random.normal(ks[1], (B, H, L, D), jnp.float32)
-    v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
-    table = 0.1 * jax.random.normal(ks[3], (2 * W - 1, H), jnp.float32)
-    pos = jnp.arange(L)
-    rel = pos[:, None] - pos[None, :]
-    idx = jnp.clip(rel + W - 1, 0, 2 * W - 2)
-    toep = (table[idx] * (jnp.abs(rel) < W)[..., None]).transpose(2, 0, 1)[None]
-    r_pos = jax.random.randint(ks[4], (B,), 0, L)
-    offsets = (r_pos - W // 2).astype(jnp.float32)
-    cot = jax.random.normal(ks[4], (B, H, L, D), jnp.float32)
-
-    def loss_k(q, k, v, toep):
-        return jnp.sum(vpu_attention_rpos(q, k, v, toep, W, offsets) * cot)
-
-    def loss_o(q, k, v, toep):
-        bias = RPosBias(toep=toep, offsets=offsets, W=W).materialize()
-        return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
-
-    vk, gk = jax.jit(jax.value_and_grad(loss_k, (0, 1, 2, 3)))(q, k, v, toep)
-    vo, go = jax.jit(jax.value_and_grad(loss_o, (0, 1, 2, 3)))(q, k, v, toep)
-    np.testing.assert_allclose(float(vk), float(vo), rtol=1e-4)
-    for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dtoep")):
-        got, ref = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        relerr = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
-        assert relerr < 1e-3, f"{name}: relative grad error {relerr:.2e}"
