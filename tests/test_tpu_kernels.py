@@ -25,12 +25,27 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _attention_oracle(q, k, v, bias):
+# Oracle precision mirroring (probe: runs/probe_precision.log). On TPU,
+# DEFAULT-precision f32 matmuls round their INPUTS to bf16 (single MXU
+# pass, ~2e-3 elementwise noise); the rounding is elementwise-deterministic,
+# so two DEFAULT paths over the same values produce bit-correlated errors
+# that cancel in a diff. Since 5cca7ad the kernel's pv matmul carries the
+# folded softmax normalizer and runs at HIGHEST for f32 operands (med rel
+# 9e-7 vs f64), while its qk matmul stays DEFAULT — so a correct oracle
+# for FORWARD values keeps qk at DEFAULT (bit-correlated logits) and runs
+# pv at HIGHEST (matching the kernel's near-exact pv). GRADIENT checks
+# compare against the all-DEFAULT oracle instead: the backward kernel's
+# matmuls are DEFAULT, and only the bit-correlated comparison cancels the
+# shared bf16 rounding noise at elementwise tolerances.
+_PV_HI = jax.lax.Precision.HIGHEST
+
+
+def _attention_oracle(q, k, v, bias, pv_precision=None):
     logits = jnp.einsum("bhld,bhmd->bhlm", q, k)
     if bias is not None:
         logits = logits + bias
     p = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhlm,bhmd->bhld", p, v)
+    return jnp.einsum("bhlm,bhmd->bhld", p, v, precision=pv_precision)
 
 
 def test_fused_attention_fwd_bwd_on_chip():
@@ -52,8 +67,14 @@ def test_fused_attention_fwd_bwd_on_chip():
     def loss_o(q, k, v, bias):
         return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
 
+    def loss_o_hi(q, k, v, bias):
+        return jnp.sum(_attention_oracle(q, k, v, bias, _PV_HI) * cot)
+
     vk, gk = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2, 3)))(q, k, v, bias)
-    vo, go = jax.jit(jax.value_and_grad(loss_o, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    # Forward value vs the pv-HIGHEST oracle; grads vs the all-DEFAULT
+    # oracle (bit-correlated backward roundings) — see the oracle note.
+    vo = jax.jit(loss_o_hi)(q, k, v, bias)
+    go = jax.jit(jax.grad(loss_o, argnums=(0, 1, 2, 3)))(q, k, v, bias)
     np.testing.assert_allclose(float(vk), float(vo), rtol=2e-5)
     for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dbias")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -157,7 +178,9 @@ def test_fused_attention_production_shapes_on_chip():
         v = jax.random.normal(ks[2], (B, H, L, D), jnp.float32)
         bias = 0.1 * jax.random.normal(ks[3], (1, H, L, L), jnp.float32)
         got = jax.jit(fused_attention)(q, k, v, bias)
-        ref = jax.jit(_attention_oracle)(q, k, v, bias)
+        ref = jax.jit(lambda q, k, v, b: _attention_oracle(q, k, v, b,
+                                                           _PV_HI))(
+            q, k, v, bias)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-3, rtol=5e-3,
                                    err_msg=f"L={L} H={H}")
@@ -188,12 +211,17 @@ def test_fused_attention_rpos_on_chip():
         def loss_k(q, k, v, toep):
             return jnp.sum(fused_attention_rpos(q, k, v, toep, W, offsets) * cot)
 
-        def loss_o(q, k, v, toep):
+        def loss_o(q, k, v, toep, pv=None):
             bias = RPosBias(toep=toep, offsets=offsets, W=W).materialize()
-            return jnp.sum(_attention_oracle(q, k, v, bias) * cot)
+            return jnp.sum(_attention_oracle(q, k, v, bias, pv) * cot)
 
         vk, gk = jax.jit(jax.value_and_grad(loss_k, (0, 1, 2, 3)))(q, k, v, toep)
-        vo, go = jax.jit(jax.value_and_grad(loss_o, (0, 1, 2, 3)))(q, k, v, toep)
+        # Value vs the pv-HIGHEST oracle (kernel pv is HIGHEST in f32);
+        # the grad gate below is a rel-Frobenius 1e-2, wide enough for the
+        # UNcorrelated bf16 noise either oracle leaves, so one oracle does.
+        vo = jax.jit(lambda q, k, v, t: loss_o(q, k, v, t, _PV_HI))(
+            q, k, v, toep)
+        go = jax.jit(jax.grad(loss_o, (0, 1, 2, 3)))(q, k, v, toep)
         np.testing.assert_allclose(float(vk), float(vo), rtol=1e-4)
         for a, b, name in zip(gk, go, ("dq", "dk", "dv", "dtoep")):
             got, ref = np.asarray(a, np.float64), np.asarray(b, np.float64)
