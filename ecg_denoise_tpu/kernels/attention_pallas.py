@@ -18,9 +18,15 @@ TPU-first design notes (see /opt/skills/guides/pallas_guide.md):
   `+=` on every step — no extra XLA reduction pass.
 * All matmuls request preferred_element_type=float32 so bf16 inputs still
   accumulate in f32 on the MXU; softmax is computed in f32.
-* The backward kernel recomputes the probabilities from (q, k, bias)
-  instead of saving them (flash-attention-style rematerialisation): HBM
-  residuals stay O(B*H*L*D), not O(B*H*L^2).
+* The backward kernel recomputes the unnormalized probabilities from
+  (q, k, bias) instead of saving them (flash-attention-style
+  rematerialisation): HBM residuals stay O(B*H*L*D), not O(B*H*L^2).
+  Two further flash-style moves (round-3j) delete most of its VPU
+  reduction work: the forward's FOLDED softmax sums ride along as an
+  O(B*H*L) residual (no sum tree, no divide — only the bit-deterministic
+  max tree is recomputed), and the softmax-jacobian row term uses the
+  delta identity c[l] = sum_d g[d,l]*o[d,l] against the saved forward
+  output (no dp*p reduction tree).
 
 Whole windows fit in VMEM (worst case L=256: a handful of 256x256 f32
 buffers, ~1.5 MB), so no inner blocking is needed — blockwise tiling only
@@ -148,16 +154,22 @@ def _ablate_mode() -> str:
     return os.environ.get("ECG_ATTN_ABLATE", "")
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref=None, mode=""):
     # G batch elements x all H heads per grid step, as one batched
     # (G*H, L, L) contraction. Operands arrive in (G, H, D, L) layout so the
     # LANE dim is L (no padding at L >= 128) — the natural (..., L, D=4)
     # layout pads 4 -> 128 lanes, a 32x HBM-traffic blowup. Matmuls keep
     # native dtype (bf16 hits the MXU fast path) with f32 accumulation;
     # softmax runs in f32.
+    #
+    # s_ref (optional, custom-VJP fwd only): the folded softmax sums
+    # (E, 1, L) are saved as a residual so the flash-style backward never
+    # re-reduces them (see _bwd_kernel).
     G, H, D, L = q_ref.shape
     if mode == "dma":
         o_ref[:] = q_ref[:]
+        if s_ref is not None:
+            s_ref[:] = jnp.ones_like(s_ref[:])
         return
     q = q_ref[:].reshape(G * H, D, L)
     k = k_ref[:].reshape(G * H, D, L)
@@ -183,6 +195,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
         probs = jnp.exp(logits - m).astype(v.dtype)  # unnormalized
     if mode == "nopv":
         out = probs[:, :D, :]
+        if s_ref is not None:
+            s_ref[:] = jnp.ones_like(s_ref[:])
     else:
         ones = jnp.ones((G * H, 1, L), v.dtype)
         vx = jnp.concatenate([v, ones], axis=1)  # (G*H, D+1, M)
@@ -192,28 +206,77 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mode=""):
         out = of[:, :D, :] / of[:, D:, :]
         if mode == "nosm":  # keep the ablation comparable: no normalizer
             out = of[:, :D, :]
+        if s_ref is not None:
+            s_ref[:] = of[:, D:, :].reshape(G, H, 1, L).astype(s_ref.dtype)
     o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+def _lane_to_sublane(t2d, L):
+    """(R, L) lane-major rows -> (L, R) sublane-major, via an MXU pass
+    against an iota-built identity matrix.
+
+    Mosaic has no cheap lane->sublane relayout primitive for VPU use, but
+    dot_general's output-dimension ordering IS one: contracting I(L, L)
+    dim 1 with t2d dim 1 emits (lhs_free, rhs_free) = (L, R). Same
+    0/1-matrix-matmul formulation block_pallas.py uses for conv shifts.
+    Runs at HIGHEST so f32 scale factors (softmax sums, jacobian row
+    terms) are not bf16-rounded into correlated per-row errors (the r3b
+    numerics lesson, docs/PROFILE_r3.md)."""
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+             ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ident, t2d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref):
+    # Flash-style backward with the forward's folded softmax sum as a
+    # residual (s_ref; see _fwd_kernel) and the flash delta identity:
+    #   c[l] = sum_m p[l,m] dp[l,m] = sum_d g[d,l] o[d,l]
+    # so the probabilities are never re-normalized: only the max tree is
+    # recomputed (bit-deterministic, so the saved sum stays consistent),
+    # and the old sum tree, full-tile divide, and dp*p reduction tree are
+    # all gone (r3c ablation: the softmax's 128-lane tree reductions were
+    # the kernel's largest compute term).
     b = pl.program_id(0)
     G, H, D, L = q_ref.shape
-    q = q_ref[:].reshape(G * H, D, L)
-    k = k_ref[:].reshape(G * H, D, L)
-    v = v_ref[:].reshape(G * H, D, L)
-    g = g_ref[:].reshape(G * H, D, L)
+    E = G * H
+    q = q_ref[:].reshape(E, D, L)
+    k = k_ref[:].reshape(E, D, L)
+    v = v_ref[:].reshape(E, D, L)
+    g = g_ref[:].reshape(E, D, L)
+    o = o_ref[:].reshape(E, D, L).astype(jnp.float32)
+    s = s_ref[:].reshape(E, 1, L).astype(jnp.float32)  # folded softmax sums
     logits = _logits(q, k)
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)
-        logits = (logits.reshape(G, H, L, L) + bias).reshape(G * H, L, L)
-    p = _softmax_f32(logits)  # (G*H, L, M) f32
-    pn = p.astype(v.dtype)
+        logits = (logits.reshape(G, H, L, L) + bias).reshape(E, L, L)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)  # unnormalized probs, f32 (E, L, M)
+    en = e.astype(v.dtype)
 
-    # dv[d,m] = sum_l p[l,m] g[d,l] ; dp[l,m] = sum_d g[d,l] v[d,m]
-    dv = _bmm(g, pn, ((2,), (1,)))         # (G*H, D, M)
-    dp = _bmm(g, v, ((1,), (1,)))          # (G*H, L, M) f32
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    rs = 1.0 / s                                   # (E, 1, L), lane-major l
+    gf = g.astype(jnp.float32)
+    gs = (gf * rs).astype(g.dtype)                 # fold 1/s into g
+    # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e[l,m] (g/s)[d,l]
+    dv = _bmm(gs, en, ((2,), (1,)))                # (E, D, M)
+    dp = _bmm(g, v, ((1,), (1,)))                  # (E, L, M) f32
+    c = jnp.sum(gf * o, axis=1, keepdims=True)     # (E, 1, L) delta identity
+
+    # ds[l,m] = e[l,m] * (dp[l,m] - c[l]) / s[l] needs c and 1/s indexed
+    # by l on SUBLANES; both arrive lane-major (lane reductions / saved
+    # matmul rows). One MXU identity pass transposes the stacked pair.
+    t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, L)
+    tT = _lane_to_sublane(t2d, L)                  # (L, 2E) f32
+    parts = []
+    for i in range(E):
+        cT = tT[:, 2 * i:2 * i + 1]                # (L, 1)
+        rT = tT[:, 2 * i + 1:2 * i + 2]            # (L, 1)
+        parts.append(((dp[i] - cT) * e[i] * rT)[None])
+    ds = jnp.concatenate(parts, axis=0)            # (E, L, M) f32
     dsn = ds.astype(q.dtype)
     # dq[d,l] = sum_m ds[l,m] k[d,m] ; dk[d,m] = sum_l ds[l,m] q[d,l]
     dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(dq_ref.dtype)
@@ -432,10 +495,10 @@ def _pack(a, B, H, L, D, P):
     return a.reshape(B, H // P, P * L, D)
 
 
-def _fwd(q, k, v, bias):
+def _fwd(q, k, v, bias, want_s=False):
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
-    if P > 1 and _dense_wanted() and not _ablate_mode():
+    if P > 1 and _dense_wanted() and not _ablate_mode() and not want_s:
         return _fwd_dense(q, k, v,
                           bias.reshape(1, H, L, L) if bias is not None
                           else None, P)
@@ -444,31 +507,55 @@ def _fwd(q, k, v, bias):
         qp, kp, vp = (_pack(a, B, H, L, D, P) for a in (q, k, v))
         bp = _block_diag_bias(
             bias.reshape(H, L, L) if bias is not None else None, H, L, P)
-        out = _fwd_raw(qp, kp, vp, bp, Hp, Lp)
+        out = _fwd_raw(qp, kp, vp, bp, Hp, Lp, want_s=want_s)
+        if want_s:
+            return out[0].reshape(B, H, L, D), out[1]
         return out.reshape(B, H, L, D)
     return _fwd_raw(q, k, v,
-                    bias.reshape(H, L, L) if bias is not None else None, H, L)
+                    bias.reshape(H, L, L) if bias is not None else None,
+                    H, L, want_s=want_s)
 
 
-def _fwd_call(qt, kt, vt, bias, H, L):
+def _s_spec(G, H, L):
+    # Softmax-sum residual rides as (B, H, 1, L): the block's last two
+    # dims equal the array's (the Mosaic rule _off_spec documents), the
+    # lane dim stays L (dense), and the kernel-side (E, 1, L) view is a
+    # leading-dims-only reshape (Mosaic-safe).
+    return pl.BlockSpec((G, H, 1, L), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(qt, kt, vt, bias, H, L, *, want_s=False):
     """The raw kernel launch on pre-transposed (B, H, D, L) operands;
-    returns (B, H, D, L). Factored out so glue cost (the XLA transposes in
-    _fwd_raw) can be measured separately (profile_forward.py iso-raw)."""
+    returns (B, H, D, L) (plus the (B, H, 1, L) f32 softmax sums when
+    want_s). Factored out so glue cost (the XLA transposes in _fwd_raw)
+    can be measured separately (profile_forward.py iso-raw)."""
     B, _, D, _ = qt.shape
     has_bias = bias is not None
     mode = _ablate_mode()
-    kernel = functools.partial(_fwd_kernel, mode=mode) if has_bias else (
-        lambda qr, kr, vr, orf: _fwd_kernel(qr, kr, vr, None, orf, mode=mode)
-    )
+
+    def kernel(*refs):
+        i = 3
+        br = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        o_ref = refs[i]
+        s_ref = refs[i + 1] if want_s else None
+        _fwd_kernel(refs[0], refs[1], refs[2], br, o_ref, s_ref, mode=mode)
+
     G = _group_size(B, H, L)
     in_specs = [_elem_spec(G, H, D, L)] * 3 + ([_bias_spec(H, L)] if has_bias else [])
     args = (qt, kt, vt) + ((bias,) if has_bias else ())
+    out_specs = _elem_spec(G, H, D, L)
+    out_shape = jax.ShapeDtypeStruct((B, H, D, L), qt.dtype)
+    if want_s:
+        out_specs = [out_specs, _s_spec(G, H, L)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=in_specs,
-        out_specs=_elem_spec(G, H, D, L),
-        out_shape=jax.ShapeDtypeStruct((B, H, D, L), qt.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (2 * L * L * D + L * L),
             bytes_accessed=qt.size * 4 * 4,
@@ -478,24 +565,29 @@ def _fwd_call(qt, kt, vt, bias, H, L):
     )(*args)
 
 
-def _fwd_raw(q, k, v, bias, H, L):
+def _fwd_raw(q, k, v, bias, H, L, *, want_s=False):
     # (B, H, L, D) -> (B, H, D, L): lane dim becomes L (see _fwd_kernel note).
     qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (q, k, v))
-    out = _fwd_call(qt, kt, vt, bias, H, L)
+    out = _fwd_call(qt, kt, vt, bias, H, L, want_s=want_s)
+    if want_s:
+        return out[0].transpose(0, 1, 3, 2), out[1]
     return out.transpose(0, 1, 3, 2)  # back to (B, H, L, D)
 
 
-def _bwd(q, k, v, bias, g):
+def _bwd(q, k, v, bias, g, o, s):
+    """o: the forward output (B, H, L, D); s: the forward's folded softmax
+    sums, already in the PACKED kernel layout (B, H/P, 1, P*L) f32."""
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
     if P > 1:
         Hp, Lp = H // P, P * L
-        qp, kp, vp, gp = (_pack(a, B, H, L, D, P) for a in (q, k, v, g))
+        qp, kp, vp, gp, op = (_pack(a, B, H, L, D, P)
+                              for a in (q, k, v, g, o))
         bp = _block_diag_bias(
             bias.reshape(H, L, L) if bias is not None else None, H, L, P)
         # want_dbias: the packing mask is always passed as a kernel bias,
         # but a bias gradient is only owed when the caller supplied one.
-        dq, dk, dv, dbias = _bwd_raw(qp, kp, vp, bp, gp, Hp, Lp,
+        dq, dk, dv, dbias = _bwd_raw(qp, kp, vp, bp, gp, op, s, Hp, Lp,
                                      want_dbias=bias is not None)
         dq, dk, dv = (a.reshape(B, H, L, D) for a in (dq, dk, dv))
         if dbias is not None:
@@ -504,29 +596,32 @@ def _bwd(q, k, v, bias, g):
         return dq, dk, dv, dbias
     return _bwd_raw(q, k, v,
                     bias.reshape(H, L, L) if bias is not None else None,
-                    g, H, L, want_dbias=bias is not None,
+                    g, o, s, H, L, want_dbias=bias is not None,
                     dbias_dtype=bias.dtype if bias is not None else None)
 
 
-def _bwd_call(qt, kt, vt, bias, gt, H, L, *, want_dbias):
-    """Raw backward launch on pre-transposed (B, H, D, L) operands;
-    returns (dq, dk, dv) in (B, H, D, L) plus dbias (H, L, L) f32."""
+def _bwd_call(qt, kt, vt, bias, gt, ot, s, H, L, *, want_dbias):
+    """Raw backward launch on pre-transposed (B, H, D, L) operands (plus
+    the forward output ot and softmax sums s); returns (dq, dk, dv) in
+    (B, H, D, L) plus dbias (H, L, L) f32."""
     B, _, D, _ = qt.shape
     has_bias = bias is not None
-    if has_bias and want_dbias:
-        kernel = _bwd_kernel
-    elif has_bias:
-        kernel = lambda qr, kr, vr, br, gr, dqr, dkr, dvr: _bwd_kernel(  # noqa: E731
-            qr, kr, vr, br, gr, dqr, dkr, dvr, None
-        )
-    else:
-        kernel = lambda qr, kr, vr, gr, dqr, dkr, dvr: _bwd_kernel(  # noqa: E731
-            qr, kr, vr, None, gr, dqr, dkr, dvr, None
-        )
+
+    def kernel(*refs):
+        i = 3
+        br = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        gr, orf, sr = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
+        dbr = refs[i + 3] if (has_bias and want_dbias) else None
+        _bwd_kernel(refs[0], refs[1], refs[2], br, gr, orf, sr,
+                    refs[i], refs[i + 1], refs[i + 2], dbr)
+
     G = _group_size(B, H, L)
     in_specs = [_elem_spec(G, H, D, L)] * 3 \
-        + ([_bias_spec(H, L)] if has_bias else []) + [_elem_spec(G, H, D, L)]
-    args = (qt, kt, vt) + ((bias,) if has_bias else ()) + (gt,)
+        + ([_bias_spec(H, L)] if has_bias else []) \
+        + [_elem_spec(G, H, D, L)] * 2 + [_s_spec(G, H, L)]
+    args = (qt, kt, vt) + ((bias,) if has_bias else ()) + (gt, ot, s)
     out_specs = [_elem_spec(G, H, D, L)] * 3
     out_shape = [jax.ShapeDtypeStruct((B, H, D, L), qt.dtype)] * 3
     if has_bias and want_dbias:
@@ -553,9 +648,9 @@ def _bwd_call(qt, kt, vt, bias, gt, H, L, *, want_dbias):
     return dq, dk, dv, dbias
 
 
-def _bwd_raw(q, k, v, bias, g, H, L, *, want_dbias, dbias_dtype=None):
-    qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g))
-    dq, dk, dv, dbias = _bwd_call(qt, kt, vt, bias, gt, H, L,
+def _bwd_raw(q, k, v, bias, g, o, s, H, L, *, want_dbias, dbias_dtype=None):
+    qt, kt, vt, gt, ot = (a.transpose(0, 1, 3, 2) for a in (q, k, v, g, o))
+    dq, dk, dv, dbias = _bwd_call(qt, kt, vt, bias, gt, ot, s, H, L,
                                   want_dbias=want_dbias)
     if dbias is not None and dbias_dtype is not None:
         dbias = dbias.reshape(1, H, L, L).astype(dbias_dtype)
@@ -590,7 +685,8 @@ def _window_mask(off_ref, W, G, L, PL):
     return ((pos >= off) & (pos < off + W)).astype(jnp.float32)
 
 
-def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref):
+def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref,
+                     s_ref=None):
     G, Hp, D, PL = q_ref.shape
     q = q_ref[:].reshape(G * Hp, D, PL)
     k = k_ref[:].reshape(G * Hp, D, PL)
@@ -614,17 +710,24 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref):
     of = _bmm(vx, en, ((2,), (2,)),
               precision=_pv_precision(v.dtype))  # (E, D+1, PL) f32
     out = of[:, :D, :] / of[:, D:, :]
+    if s_ref is not None:
+        s_ref[:] = of[:, D:, :].reshape(G, Hp, 1, PL).astype(s_ref.dtype)
     o_ref[:] = out.reshape(G, Hp, D, PL).astype(o_ref.dtype)
 
 
 def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, dtoep_ref):
+                     o_ref, s_ref, dq_ref, dk_ref, dv_ref, dtoep_ref):
+    # Flash-style backward: saved folded softmax sums + the delta
+    # identity, same as _bwd_kernel (which documents the scheme).
     b = pl.program_id(0)
     G, Hp, D, PL = q_ref.shape
-    q = q_ref[:].reshape(G * Hp, D, PL)
-    k = k_ref[:].reshape(G * Hp, D, PL)
-    v = v_ref[:].reshape(G * Hp, D, PL)
-    g = g_ref[:].reshape(G * Hp, D, PL)
+    E = G * Hp
+    q = q_ref[:].reshape(E, D, PL)
+    k = k_ref[:].reshape(E, D, PL)
+    v = v_ref[:].reshape(E, D, PL)
+    g = g_ref[:].reshape(E, D, PL)
+    o = o_ref[:].reshape(E, D, PL).astype(jnp.float32)
+    s = s_ref[:].reshape(E, 1, PL).astype(jnp.float32)
     logits = _logits(q, k)
     m = _window_mask(off_ref, W, G, L, PL)  # (G, PL)
     mm = m[:, None, :, None] * m[:, None, None, :]  # (G, 1, PL, PL)
@@ -634,12 +737,26 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
         blk = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0) // L \
             == jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
         l4 = l4 + jnp.where(blk, 0.0, _NEG_INF)[None, None]
-    p = _softmax_f32(l4.reshape(G * Hp, PL, PL))
-    pn = p.astype(v.dtype)
+    lg = l4.reshape(E, PL, PL)
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    e = jnp.exp(lg - mx)  # unnormalized probs, f32
+    en = e.astype(v.dtype)
 
-    dv = _bmm(g, pn, ((2,), (1,)))
+    rs = 1.0 / s
+    gf = g.astype(jnp.float32)
+    gs = (gf * rs).astype(g.dtype)
+    dv = _bmm(gs, en, ((2,), (1,)))
     dp = _bmm(g, v, ((1,), (1,)))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    c = jnp.sum(gf * o, axis=1, keepdims=True)
+
+    t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, PL)
+    tT = _lane_to_sublane(t2d, PL)  # (PL, 2E)
+    parts = []
+    for i in range(E):
+        cT = tT[:, 2 * i:2 * i + 1]
+        rT = tT[:, 2 * i + 1:2 * i + 2]
+        parts.append(((dp[i] - cT) * e[i] * rT)[None])
+    ds = jnp.concatenate(parts, axis=0)  # (E, PL, PL) f32
     dsn = ds.astype(q.dtype)
     dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, Hp, D, PL).astype(dq_ref.dtype)
     dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, Hp, D, PL).astype(dk_ref.dtype)
@@ -680,20 +797,26 @@ def fused_attention_rpos(q, k, v, toep, W: int, offsets=None):
     return _rpos_fwd_impl(q, k, v, toep, W, offsets)
 
 
-def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp):
+def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp, *, want_s=False):
     """Raw rpos launch on pre-transposed (B, Hp, D, Lp) packed operands."""
     B, _, D, _ = qt.shape
     G = _group_size(B, Hp, Lp)
     if G > 1:
         G //= 2  # masked-bias temp doubles the working set
     kernel = functools.partial(_fwd_rpos_kernel, W, L)
+    out_specs = _elem_spec(G, Hp, D, Lp)
+    out_shape = jax.ShapeDtypeStruct((B, Hp, D, Lp), qt.dtype)
+    if want_s:
+        out_specs = [out_specs, _s_spec(G, Hp, Lp)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, Hp, 1, Lp), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
         + [_bias_spec(Hp, Lp), _off_spec(G)],
-        out_specs=_elem_spec(G, Hp, D, Lp),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, D, Lp), qt.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Hp * (2 * Lp * Lp * D + Lp * Lp),
             bytes_accessed=qt.size * 4 * 4,
@@ -703,7 +826,7 @@ def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp):
     )(qt, kt, vt, toep_bd, off)
 
 
-def _rpos_fwd_impl(q, k, v, toep, W, offsets):
+def _rpos_fwd_impl(q, k, v, toep, W, offsets, want_s=False):
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
     Hp, Lp = H // P, P * L
@@ -711,7 +834,9 @@ def _rpos_fwd_impl(q, k, v, toep, W, offsets):
     toep_bd = _pack_toep(toep, H, L, P)
     off = offsets.reshape(B, 1, 1).astype(jnp.float32)
     qt, kt, vt = (a.transpose(0, 1, 3, 2) for a in (qp, kp, vp))
-    out = _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp)
+    out = _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp, want_s=want_s)
+    if want_s:
+        return out[0].transpose(0, 1, 3, 2).reshape(B, H, L, D), out[1]
     return out.transpose(0, 1, 3, 2).reshape(B, H, L, D)
 
 
@@ -727,10 +852,11 @@ def _pack_toep(toep, H, L, P):
 
 
 def _rpos_fwd(q, k, v, toep, W, offsets):
-    return _rpos_fwd_impl(q, k, v, toep, W, offsets), (q, k, v, toep, offsets)
+    out, s = _rpos_fwd_impl(q, k, v, toep, W, offsets, want_s=True)
+    return out, (q, k, v, toep, offsets, out, s)
 
 
-def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, W, L, Hp, Lp):
+def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, ot, s, W, L, Hp, Lp):
     """Raw rpos backward launch; returns grads in packed layouts plus the
     packed (Hp, Lp, Lp) f32 dtoep."""
     B, _, D, _ = qt.shape
@@ -742,7 +868,8 @@ def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, W, L, Hp, Lp):
         kernel,
         grid=(B // G,),
         in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
-        + [_bias_spec(Hp, Lp), _off_spec(G), _elem_spec(G, Hp, D, Lp)],
+        + [_bias_spec(Hp, Lp), _off_spec(G)]
+        + [_elem_spec(G, Hp, D, Lp)] * 2 + [_s_spec(G, Hp, Lp)],
         out_specs=[_elem_spec(G, Hp, D, Lp)] * 3 + [_bias_spec(Hp, Lp)],
         out_shape=[jax.ShapeDtypeStruct((B, Hp, D, Lp), qt.dtype)] * 3
         + [jax.ShapeDtypeStruct((Hp, Lp, Lp), jnp.float32)],
@@ -752,19 +879,20 @@ def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, W, L, Hp, Lp):
             transcendentals=B * Hp * Lp * Lp,
         ),
         interpret=_INTERPRET,
-    )(qt, kt, vt, toep_bd, off, gt)
+    )(qt, kt, vt, toep_bd, off, gt, ot, s)
 
 
 def _rpos_bwd(W, res, g):
-    q, k, v, toep, offsets = res
+    q, k, v, toep, offsets, o, s = res
     B, H, L, D = q.shape
     P = _pack_factor(B, H, L)
     Hp, Lp = H // P, P * L
-    qp, kp, vp, gp = (_pack(a, B, H, L, D, P) for a in (q, k, v, g))
+    qp, kp, vp, gp, op = (_pack(a, B, H, L, D, P) for a in (q, k, v, g, o))
     toep_bd = _pack_toep(toep, H, L, P)
     off = offsets.reshape(B, 1, 1).astype(jnp.float32)
-    qt, kt, vt, gt = (a.transpose(0, 1, 3, 2) for a in (qp, kp, vp, gp))
-    dq, dk, dv, dtoep = _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt,
+    qt, kt, vt, gt, ot = (a.transpose(0, 1, 3, 2)
+                          for a in (qp, kp, vp, gp, op))
+    dq, dk, dv, dtoep = _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, ot, s,
                                        W, L, Hp, Lp)
     dq, dk, dv = (a.transpose(0, 1, 3, 2).reshape(B, H, L, D)
                   for a in (dq, dk, dv))
@@ -782,13 +910,13 @@ def _rpos_packed(qp, kp, vp, toep_bd, off, W: int, L: int, Hp: int, Lp: int):
 
 
 def _rp_fwd(qp, kp, vp, toep_bd, off, W, L, Hp, Lp):
-    return (_rpos_call(qp, kp, vp, toep_bd, off, W, L, Hp, Lp),
-            (qp, kp, vp, toep_bd, off))
+    out, s = _rpos_call(qp, kp, vp, toep_bd, off, W, L, Hp, Lp, want_s=True)
+    return out, (qp, kp, vp, toep_bd, off, out, s)
 
 
 def _rp_bwd(W, L, Hp, Lp, res, g):
-    qp, kp, vp, toep_bd, off = res
-    dq, dk, dv, dtoep = _rpos_bwd_call(qp, kp, vp, toep_bd, off, g,
+    qp, kp, vp, toep_bd, off, o, s = res
+    dq, dk, dv, dtoep = _rpos_bwd_call(qp, kp, vp, toep_bd, off, g, o, s,
                                        W, L, Hp, Lp)
     return dq, dk, dv, dtoep.astype(toep_bd.dtype), jnp.zeros_like(off)
 
@@ -830,12 +958,13 @@ def fused_attention(q, k, v, bias: Optional[jnp.ndarray] = None):
 
 
 def _fused_fwd(q, k, v, bias):
-    return _fwd(q, k, v, bias), (q, k, v, bias)
+    out, s = _fwd(q, k, v, bias, want_s=True)
+    return out, (q, k, v, bias, out, s)
 
 
 def _fused_bwd(res, g):
-    q, k, v, bias = res
-    return _bwd(q, k, v, bias, g)
+    q, k, v, bias, o, s = res
+    return _bwd(q, k, v, bias, g, o, s)
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -860,12 +989,13 @@ def _fused_attention_packed(qp, kp, vp, bias_bd, Hp: int, Lp: int):
 
 
 def _fap_fwd(qp, kp, vp, bias_bd, Hp, Lp):
-    return _fwd_call(qp, kp, vp, bias_bd, Hp, Lp), (qp, kp, vp, bias_bd)
+    out, s = _fwd_call(qp, kp, vp, bias_bd, Hp, Lp, want_s=True)
+    return out, (qp, kp, vp, bias_bd, out, s)
 
 
 def _fap_bwd(Hp, Lp, res, g):
-    qp, kp, vp, bias_bd = res
-    dq, dk, dv, dbias = _bwd_call(qp, kp, vp, bias_bd, g, Hp, Lp,
+    qp, kp, vp, bias_bd, o, s = res
+    dq, dk, dv, dbias = _bwd_call(qp, kp, vp, bias_bd, g, o, s, Hp, Lp,
                                   want_dbias=True)
     return dq, dk, dv, dbias.astype(bias_bd.dtype)
 
