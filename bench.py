@@ -168,8 +168,8 @@ def main() -> None:
                     default=None,
                     help="fused-attention Pallas kernel inside the XLA "
                          "model — the measured-fastest path BOTH ways "
-                         "(fwd 55.3k w/s @2048 vs 35.0k plain XLA; train "
-                         "16.0k @32 / 20.4k @256 vs 14.5k/16.6k XLA). "
+                         "(fwd 82.9k w/s @2048 vs 35.0k plain XLA; train "
+                         "16.0k @32 / 25.0k @256 vs 14.5k/16.6k XLA). "
                          "Default: on for inference, off for training "
                          "(the training CLI default is the XLA path the "
                          "parity experiment certified).")
@@ -177,7 +177,7 @@ def main() -> None:
                     default=False,
                     help="fused whole-STAGE Pallas inference path "
                          "(measured 40.5k w/s @2048 — beats plain XLA's "
-                         "35.0k, loses to --use-pallas's 55.3k)")
+                         "35.0k, loses to --use-pallas's 82.9k)")
     ap.add_argument("--chain", type=int, default=8,
                     help="forwards chained inside ONE jit call via "
                          "lax.fori_loop (output feeds the next input — "

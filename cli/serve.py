@@ -50,7 +50,7 @@ def main():
                         "large batch but --use_pallas is faster still)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused-attention kernel inside the XLA model — the "
-                        "measured-fastest serving path on TPU (55.3k w/s "
+                        "measured-fastest serving path on TPU (82.9k w/s "
                         "at batch 2048 vs 40.5k --fast / 35.0k plain)")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="per-window R-peak-centred attention biases "

@@ -125,7 +125,7 @@ class Denoiser:
         else:
             # Measured fastest serving config on v5e (bench_explore, round
             # 2): the model with use_pallas=True (fused-attention kernel,
-            # everything else XLA) at large batch — 55.3k windows/s vs
+            # everything else XLA) at large batch — 82.9k windows/s vs
             # 40.5k whole-stage-fused and 35.0k plain XLA at batch 2048.
             attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
             dp = f"+dp{mesh.shape['data']}" if mesh is not None else ""
