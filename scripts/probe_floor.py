@@ -91,8 +91,12 @@ def main():
                     row[mode] = float("nan")
                     print(f"  [budget {budget} mode {mode or 'full'}: "
                           f"{type(e).__name__}: {str(e)[:90]}]")
+            # bytes: q,k,v in + o out, (B, Hp, 8-padded D, Lp) bf16 tiles
+            mb = 4 * B * Hp * 8 * Lp * 2 / 1e6
+            gbs = mb / 1e3 / (row["dma"] / 1e6) if row["dma"] else 0.0
             print(f"L{L:>4d}_H{H:<3d} {budget // 1024:>7d}k {G:>4d} "
-                  f"{steps:>6d} {row['dma']:>8.1f} {row['']:>8.1f}")
+                  f"{steps:>6d} {row['dma']:>8.1f} {row['']:>8.1f} "
+                  f"{mb:>6.1f}MB {gbs:>6.0f}GB/s")
     os.environ.pop("ECG_ATTN_VMEM_BUDGET", None)
 
 
