@@ -81,15 +81,39 @@ def main():
             return jax.lax.fori_loop(0, CHAIN, body, x)
 
         t_r = run(relayout_pair, x3) if P > 1 else 0.0
+
+        # LayerNorm over each window's C channels, packed segment-reshape
+        # formulation vs the unpacked one — decides how a packed forward
+        # would normalize (PC lanes -> (P, C) minor split + reduce).
+        def ln_unpacked(x):
+            def body(i, h):
+                hf = h.astype(jnp.float32)
+                m = jnp.mean(hf, axis=-1, keepdims=True)
+                v = jnp.mean((hf - m) ** 2, axis=-1, keepdims=True)
+                return ((hf - m) * jax.lax.rsqrt(v + 1e-5)).astype(h.dtype)
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        def ln_packed(x):
+            def body(i, h):
+                hf = h.astype(jnp.float32).reshape(B * L // P, P, C)
+                m = jnp.mean(hf, axis=-1, keepdims=True)
+                v = jnp.mean((hf - m) ** 2, axis=-1, keepdims=True)
+                y = (hf - m) * jax.lax.rsqrt(v + 1e-5)
+                return y.reshape(B * L // P, P * C).astype(h.dtype)
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        t_lu = run(ln_unpacked, xu)
+        t_lp = run(ln_packed, xp) if P > 1 else t_lu
         tot_u += t_u
         tot_p += t_p
         tot_r += t_r
         print(f"L{L:>4d}_C{C:<4d} {P:>3d} {t_u:>9.1f}u {t_p:>9.1f}u "
-              f"{t_u / max(t_p, 1e-9):>7.2f}x {t_r:>9.1f}u")
+              f"{t_u / max(t_p, 1e-9):>7.2f}x {t_r:>9.1f}u "
+              f"ln {t_lu:>7.1f}u->{t_lp:>7.1f}u")
     print(f"{'TOTAL':>10s} {'':>3s} {tot_u:>9.1f}u {tot_p:>9.1f}u "
           f"{tot_u / max(tot_p, 1e-9):>7.2f}x {tot_r:>9.1f}u")
-    print("(per matmul application at batch 2048; relayout = one "
-          "pack+unpack round trip incl. a fused +1)")
+    print("(per application at batch 2048; relayout = one pack+unpack "
+          "round trip incl. a fused +1; ln = LayerNorm per window)")
 
 
 if __name__ == "__main__":
