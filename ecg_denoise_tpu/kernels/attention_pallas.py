@@ -211,6 +211,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref=None, mode=""):
     o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
+def _flash_bwd_wanted() -> bool:
+    """ECG_ATTN_FLASHBWD=0 falls back to the pre-round-3j backward (full
+    in-kernel softmax recompute, dp*p reduction tree) — the A/B knob for
+    measuring the flash backward's saving, and the escape hatch if a
+    lowering regression ever hits the identity-transpose path."""
+    import os
+
+    return os.environ.get("ECG_ATTN_FLASHBWD", "1") != "0"
+
+
+def _ds_classic(logits, g, v):
+    """Pre-flash backward core: normalized probs + dp*p tree. Returns
+    (ds f32, dv) with ds the softmax-jacobian product."""
+    p = _softmax_f32(logits)
+    pn = p.astype(v.dtype)
+    dv = _bmm(g, pn, ((2,), (1,)))
+    dp = _bmm(g, v, ((1,), (1,)))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    return ds, dv
+
+
 def _lane_to_sublane(t2d, L):
     """(R, L) lane-major rows -> (L, R) sublane-major, via an MXU pass
     against an iota-built identity matrix.
@@ -254,29 +275,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)
         logits = (logits.reshape(G, H, L, L) + bias).reshape(E, L, L)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)  # unnormalized probs, f32 (E, L, M)
-    en = e.astype(v.dtype)
+    if not _flash_bwd_wanted():
+        ds, dv = _ds_classic(logits, g, v)
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)  # unnormalized probs, f32 (E, L, M)
+        en = e.astype(v.dtype)
 
-    rs = 1.0 / s                                   # (E, 1, L), lane-major l
-    gf = g.astype(jnp.float32)
-    gs = (gf * rs).astype(g.dtype)                 # fold 1/s into g
-    # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e[l,m] (g/s)[d,l]
-    dv = _bmm(gs, en, ((2,), (1,)))                # (E, D, M)
-    dp = _bmm(g, v, ((1,), (1,)))                  # (E, L, M) f32
-    c = jnp.sum(gf * o, axis=1, keepdims=True)     # (E, 1, L) delta identity
+        rs = 1.0 / s                               # (E, 1, L), lane-major l
+        gf = g.astype(jnp.float32)
+        gs = (gf * rs).astype(g.dtype)             # fold 1/s into g
+        # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e[l,m] (g/s)[d,l]
+        dv = _bmm(gs, en, ((2,), (1,)))            # (E, D, M)
+        dp = _bmm(g, v, ((1,), (1,)))              # (E, L, M) f32
+        c = jnp.sum(gf * o, axis=1, keepdims=True)  # (E, 1, L) delta identity
 
-    # ds[l,m] = e[l,m] * (dp[l,m] - c[l]) / s[l] needs c and 1/s indexed
-    # by l on SUBLANES; both arrive lane-major (lane reductions / saved
-    # matmul rows). One MXU identity pass transposes the stacked pair.
-    t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, L)
-    tT = _lane_to_sublane(t2d, L)                  # (L, 2E) f32
-    parts = []
-    for i in range(E):
-        cT = tT[:, 2 * i:2 * i + 1]                # (L, 1)
-        rT = tT[:, 2 * i + 1:2 * i + 2]            # (L, 1)
-        parts.append(((dp[i] - cT) * e[i] * rT)[None])
-    ds = jnp.concatenate(parts, axis=0)            # (E, L, M) f32
+        # ds[l,m] = e[l,m] * (dp[l,m] - c[l]) / s[l] needs c and 1/s
+        # indexed by l on SUBLANES; both arrive lane-major (lane
+        # reductions / saved matmul rows). One MXU identity pass
+        # transposes the stacked pair.
+        t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, L)
+        tT = _lane_to_sublane(t2d, L)              # (L, 2E) f32
+        parts = []
+        for i in range(E):
+            cT = tT[:, 2 * i:2 * i + 1]            # (L, 1)
+            rT = tT[:, 2 * i + 1:2 * i + 2]        # (L, 1)
+            parts.append(((dp[i] - cT) * e[i] * rT)[None])
+        ds = jnp.concatenate(parts, axis=0)        # (E, L, M) f32
     dsn = ds.astype(q.dtype)
     # dq[d,l] = sum_m ds[l,m] k[d,m] ; dk[d,m] = sum_l ds[l,m] q[d,l]
     dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(dq_ref.dtype)
@@ -738,25 +763,28 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
             == jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
         l4 = l4 + jnp.where(blk, 0.0, _NEG_INF)[None, None]
     lg = l4.reshape(E, PL, PL)
-    mx = jnp.max(lg, axis=-1, keepdims=True)
-    e = jnp.exp(lg - mx)  # unnormalized probs, f32
-    en = e.astype(v.dtype)
+    if not _flash_bwd_wanted():
+        ds, dv = _ds_classic(lg, g, v)
+    else:
+        mx = jnp.max(lg, axis=-1, keepdims=True)
+        e = jnp.exp(lg - mx)  # unnormalized probs, f32
+        en = e.astype(v.dtype)
 
-    rs = 1.0 / s
-    gf = g.astype(jnp.float32)
-    gs = (gf * rs).astype(g.dtype)
-    dv = _bmm(gs, en, ((2,), (1,)))
-    dp = _bmm(g, v, ((1,), (1,)))
-    c = jnp.sum(gf * o, axis=1, keepdims=True)
+        rs = 1.0 / s
+        gf = g.astype(jnp.float32)
+        gs = (gf * rs).astype(g.dtype)
+        dv = _bmm(gs, en, ((2,), (1,)))
+        dp = _bmm(g, v, ((1,), (1,)))
+        c = jnp.sum(gf * o, axis=1, keepdims=True)
 
-    t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, PL)
-    tT = _lane_to_sublane(t2d, PL)  # (PL, 2E)
-    parts = []
-    for i in range(E):
-        cT = tT[:, 2 * i:2 * i + 1]
-        rT = tT[:, 2 * i + 1:2 * i + 2]
-        parts.append(((dp[i] - cT) * e[i] * rT)[None])
-    ds = jnp.concatenate(parts, axis=0)  # (E, PL, PL) f32
+        t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, PL)
+        tT = _lane_to_sublane(t2d, PL)  # (PL, 2E)
+        parts = []
+        for i in range(E):
+            cT = tT[:, 2 * i:2 * i + 1]
+            rT = tT[:, 2 * i + 1:2 * i + 2]
+            parts.append(((dp[i] - cT) * e[i] * rT)[None])
+        ds = jnp.concatenate(parts, axis=0)  # (E, PL, PL) f32
     dsn = ds.astype(q.dtype)
     dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, Hp, D, PL).astype(dq_ref.dtype)
     dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, Hp, D, PL).astype(dk_ref.dtype)
