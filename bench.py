@@ -178,6 +178,12 @@ def main() -> None:
                     help="fused whole-STAGE Pallas inference path "
                          "(measured 40.5k w/s @2048 — beats plain XLA's "
                          "35.0k, loses to --use-pallas's 82.9k)")
+    ap.add_argument("--packed", action="store_true",
+                    help="window-packed inference path: the whole forward "
+                         "in a (B/P, L, P*C) lane-packed layout so the "
+                         "tiny-C Dense/LN/merge glue runs on full 128-lane "
+                         "MXU tiles (models/ralenet_packed.py); attention "
+                         "uses the same fused kernels as --use-pallas")
     ap.add_argument("--chain", type=int, default=8,
                     help="forwards chained inside ONE jit call via "
                          "lax.fori_loop (output feeds the next input — "
@@ -254,8 +260,9 @@ def main() -> None:
             model, tx, donate=False,
             detect_r_pos=args.r_pos == "detect",
             fast_variant="full" if args.fast_train else None,
-            fast_mm_dtype=dtype if args.fast_train else None,
+            fast_mm_dtype=dtype if (args.fast_train or args.packed) else None,
             fast_strategy=args.fast_train_strategy,
+            packed_variant="full" if args.packed else None,
         )
         key = jax.random.PRNGKey(1)
         state, m = train_epoch(state, noisy, clean, key, bs)  # compile
@@ -277,7 +284,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
             **({"r_pos": args.r_pos} if args.r_pos else {}),
-            "path": ("pallas-fused" if args.fast_train
+            "path": ("window-packed" if args.packed
+                     else "pallas-fused" if args.fast_train
                      else "attn-pallas" if args.use_pallas else "xla"),
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
@@ -293,7 +301,15 @@ def main() -> None:
         jax.random.PRNGKey(0), x[:2]
     )
 
-    if args.fast:
+    if args.packed:
+        from ecg_denoise_tpu.models.ralenet_packed import apply_packed
+
+        mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+        def fwd_body(batch):
+            return apply_packed(variables, batch, variant="full",
+                                mm_dtype=mm_dtype).astype(batch.dtype)
+    elif args.fast:
         from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
         mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -341,7 +357,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ralenet_full_fwd_throughput",
-                "path": ("attn-pallas" if args.use_pallas
+                "path": ("window-packed" if args.packed
+                         else "attn-pallas" if args.use_pallas
                          else "pallas-fused" if args.fast else "xla"),
                 "value": round(wps, 1),
                 "unit": "windows/sec/chip",

@@ -29,7 +29,8 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
                    detect_r_pos: bool = False,
                    fast_variant: Optional[str] = None,
                    fast_mm_dtype=None,
-                   fast_strategy: str = "fused"):
+                   fast_strategy: str = "fused",
+                   packed_variant: Optional[str] = None):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -53,6 +54,9 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     if detect_r_pos and fast_variant:
         raise ValueError("per-window r_pos needs the XLA attention path; "
                          "use detect_r_pos OR fast_variant, not both")
+    if fast_variant and packed_variant:
+        raise ValueError("fast_variant and packed_variant are exclusive "
+                         "forward routings")
     if detect_r_pos:
         from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
 
@@ -60,7 +64,30 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     else:
         r_kw = lambda x: {}
 
-    if fast_variant:
+    if packed_variant:
+        # Window-packed forward (models/ralenet_packed.py): the whole
+        # transformer stack in the (B/P, L, P*C) lane-packed layout,
+        # attention through the same fused kernels. Supports per-window
+        # r_pos (the rpos kernel takes per-window offsets natively).
+        import jax.numpy as _jnp
+
+        from ecg_denoise_tpu.models.ralenet_packed import (
+            apply_packed,
+            apply_packed_train,
+        )
+
+        mm = fast_mm_dtype or _jnp.float32
+
+        def apply_train(params, batch_stats, x):
+            return apply_packed_train(
+                {"params": params, "batch_stats": batch_stats}, x,
+                variant=packed_variant, mm_dtype=mm, **r_kw(x),
+            )
+
+        def apply_eval(variables, x):
+            return apply_packed(variables, x, variant=packed_variant,
+                                mm_dtype=mm, **r_kw(x))
+    elif fast_variant:
         import jax.numpy as _jnp
 
         from ecg_denoise_tpu.models.ralenet_fast import apply_fast, apply_fast_train
