@@ -48,6 +48,11 @@ def main():
                    help="fused whole-stage Pallas inference path "
                         "(RaleNet-family checkpoints; beats plain XLA at "
                         "large batch but --use_pallas is faster still)")
+    p.add_argument("--packed", action="store_true",
+                   help="window-packed inference path (RaleNet-family "
+                        "checkpoints): the whole forward in a lane-packed "
+                        "layout, attention through the fused kernels; "
+                        "composes with --r_pos detect; buckets floor at 16")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused-attention kernel inside the XLA model — the "
                         "measured-fastest serving path on TPU (82.9k w/s "
@@ -90,18 +95,29 @@ def main():
         print("--r_pos is not supported by the whole-stage --fast engine; "
               "using the standard (or --use_pallas) path")
         fast = None
+    packed = None
+    if args.packed:
+        variant_by_model = {"ralenet": "full", "ralenet_mlp": "mlp",
+                            "ralenet_nra": "nra"}
+        packed = variant_by_model.get(args.model)
+        if packed is None:
+            print(f"--packed not available for {args.model}; using standard path")
+        elif fast:
+            print("--packed overrides --fast")
+            fast = None
     mesh = None
     if args.n_data:
-        if fast or args.use_pallas:
+        if fast or packed or args.use_pallas:
             sys.exit("--n_data mesh serving runs the XLA model; drop "
-                     "--fast/--use_pallas")
+                     "--fast/--packed/--use_pallas")
         from ecg_denoise_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)
     denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
                                         max_batch=args.max_batch, fast=fast,
                                         use_pallas=args.use_pallas,
-                                        r_pos=r_pos, mesh=mesh)
+                                        r_pos=r_pos, mesh=mesh,
+                                        packed=packed)
     if args.warmup_max:
         denoiser.warmup(limit=args.warmup_max)
     meta = {"model": args.model, "ckpt": args.ckpt,

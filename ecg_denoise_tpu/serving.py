@@ -43,7 +43,8 @@ class Denoiser:
 
     def __init__(self, model, variables, max_batch: int = 1024,
                  fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                 r_pos: Optional[str] = None, mesh=None):
+                 r_pos: Optional[str] = None, mesh=None,
+                 packed: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -62,7 +63,8 @@ class Denoiser:
         # XLA model only.
         self._bucket_floor = 1
         if mesh is not None:
-            if fast is not None or getattr(model, "use_pallas", False):
+            if fast is not None or packed is not None or getattr(
+                    model, "use_pallas", False):
                 raise ValueError(
                     "mesh serving runs the XLA model; build the Denoiser "
                     "with use_pallas=False and fast=None")
@@ -93,7 +95,38 @@ class Denoiser:
             print(f"[serving] fast='{fast}' requested but backend is "
                   f"'{jax.default_backend()}' — using the standard XLA path")
             fast = None
-        if fast is not None:
+        if packed is not None and jax.default_backend() != "tpu":
+            print(f"[serving] packed='{packed}' requested but backend is "
+                  f"'{jax.default_backend()}' — using the standard XLA path")
+            packed = None
+        if packed is not None:
+            # Window-packed forward (models/ralenet_packed.py): buckets
+            # must be multiples of the stage-0 packing factor (16); the
+            # power-of-two bucket ladder satisfies that from floor 16.
+            from ecg_denoise_tpu.models.ralenet_packed import apply_packed
+
+            self._bucket_floor = max(self._bucket_floor, 16)
+            self.max_batch = max(self.max_batch, 16)
+            rp = "+rpos" if r_pos == "detect" else ""
+            self.inference_path = (
+                f"window-packed:{packed}{rp}:mm={jnp.dtype(mm_dtype).name}"
+            )
+            if r_pos == "detect":
+                from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
+
+                @partial(jax.jit, static_argnums=())
+                def fwd(batch):
+                    return apply_packed(variables, batch, variant=packed,
+                                        mm_dtype=mm_dtype,
+                                        r_pos=detect_r_peaks(batch))
+            else:
+
+                @partial(jax.jit, static_argnums=())
+                def fwd(batch):
+                    return apply_packed(variables, batch, variant=packed,
+                                        mm_dtype=mm_dtype)
+
+        elif fast is not None:
             from ecg_denoise_tpu.models.ralenet_fast import apply_fast
 
             self.inference_path = (
@@ -142,7 +175,8 @@ class Denoiser:
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
                         fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                        r_pos: Optional[str] = None, mesh=None):
+                        r_pos: Optional[str] = None, mesh=None,
+                        packed: Optional[str] = None):
         if use_pallas and jax.default_backend() != "tpu":
             # Same loud fallback as fast=: the attention kernel is a
             # Mosaic (TPU) program.
@@ -157,7 +191,7 @@ class Denoiser:
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype,
-                   r_pos=r_pos, mesh=mesh)
+                   r_pos=r_pos, mesh=mesh, packed=packed)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.denoise_timed(x)[0]

@@ -270,3 +270,53 @@ def test_use_pallas_train_step_on_chip():
     ev = jax.device_get(eval_epoch(state, noisy, clean, bs))
     assert np.isfinite(ev["snr"])
 
+
+
+def test_apply_packed_production_shape_on_chip():
+    """Window-packed forward vs RaleNet.apply at the production shape
+    (batch 256), both matmul dtypes: f32 tight (the packed Dense forms are
+    bitwise-identical; LN/attention differ only in summation order and the
+    kernel's DEFAULT-qk bf16 input rounding), bf16 at the bf16-noise gate."""
+    from ecg_denoise_tpu.models import RaleNet
+    from ecg_denoise_tpu.models.ralenet_packed import apply_packed
+
+    model = RaleNet(variant="full")
+    x = jax.random.normal(jax.random.PRNGKey(2), (256, 2, 256), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:2],
+                                           train=False))()
+    ref = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x))
+    got32 = np.asarray(jax.jit(
+        lambda v, x: apply_packed(v, x, variant="full",
+                                  mm_dtype=jnp.float32))(variables, x))
+    # f32 packed vs f32 XLA: the attention kernel's DEFAULT-precision qk
+    # rounds f32 inputs to bf16 (probe_precision.log), so the gate is the
+    # elementwise-bf16-noise scale, not 1e-5.
+    np.testing.assert_allclose(got32, ref, atol=5e-3, rtol=5e-3)
+    got16 = np.asarray(jax.jit(
+        lambda v, x: apply_packed(v, x, variant="full",
+                                  mm_dtype=jnp.bfloat16))(variables, x))
+    assert float(np.mean((got16 - ref) ** 2)) < 1e-4
+    np.testing.assert_allclose(got16, ref, atol=0.05, rtol=0.05)
+
+
+def test_packed_train_step_on_chip():
+    """One jitted window-packed train epoch (fwd + flash-VJP backward +
+    Adam) with detected per-window R peaks at batch 256."""
+    from ecg_denoise_tpu.models import RaleNet
+    from ecg_denoise_tpu.train.state import create_train_state
+    from ecg_denoise_tpu.train.steps import make_epoch_fns
+
+    model = RaleNet(variant="full", use_pallas=True)
+    n, bs = 256, 256
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
+    clean = noisy * 0.5
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
+    train_epoch, eval_epoch = make_epoch_fns(
+        model, tx, donate=False, detect_r_pos=True, packed_variant="full")
+    state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(1), bs)
+    m = jax.device_get(m)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["snr"])
+    ev = jax.device_get(eval_epoch(state, noisy, clean, bs))
+    assert np.isfinite(ev["snr"])
