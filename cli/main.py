@@ -73,6 +73,9 @@ def main():
     fast_variant = _RALE.get(cfg.model_name) if cfg.fast_train else None
     if cfg.fast_train and fast_variant is None:
         print(f"--fast_train is RaleNet-family only; ignored for {cfg.model_name}")
+    packed_variant = _RALE.get(cfg.model_name) if cfg.packed_train else None
+    if cfg.packed_train and packed_variant is None:
+        print(f"--packed_train is RaleNet-family only; ignored for {cfg.model_name}")
 
     from ecg_denoise_tpu.utils.run_log import train_log
 
@@ -85,6 +88,7 @@ def main():
         noise_intensity=cfg.noise_intensity, seed=cfg.seed,
         model_save_dir=cfg.model_save_dir, output_file=cfg.output_file,
         mesh=mesh, r_pos_mode=r_pos_mode, fast_variant=fast_variant,
+        packed_variant=packed_variant,
     )
 
 

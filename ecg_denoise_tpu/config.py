@@ -36,6 +36,7 @@ class TrainConfig:
     r_pos: str | None = None  # 'detect' = R-peak-centred attention bias
     multihost: bool = False  # jax.distributed init + per-host data feeding
     fast_train: bool = False  # fused Pallas layer kernels in the train step
+    packed_train: bool = False  # window-packed layout train/eval forwards
 
     @property
     def noise_name(self) -> str:
@@ -81,6 +82,10 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
                    help="train through the fused Pallas layer kernels "
                         "(fwd + in-kernel-vjp bwd; RaleNet family only — "
                         "kernels/block_pallas.fused_layer_diff)")
+    p.add_argument("--packed_train", action="store_true",
+                   help="train through the window-packed forward "
+                        "(models/ralenet_packed.py; RaleNet family only; "
+                        "composes with --r_pos detect)")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="'detect': centre the R-wave attention bias on each "
                         "window's detected R peak (data/rpeaks.py) instead "

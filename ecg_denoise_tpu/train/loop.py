@@ -52,6 +52,7 @@ def fit(
     verbose: bool = True,
     r_pos_mode: Optional[str] = None,
     fast_variant: Optional[str] = None,
+    packed_variant: Optional[str] = None,
 ):
     # On a multi-host mesh every process runs fit() in lockstep; only
     # process 0 may touch shared storage (checkpoints, output.txt) or
@@ -76,12 +77,13 @@ def fit(
     if resume_path:
         state = load_checkpoint(resume_path, state)
 
-    if mesh is not None and fast_variant:
+    if mesh is not None and (fast_variant or packed_variant):
         # The fused-layer pallas_calls have no SPMD partitioning rule; a
         # sharded batch would either be rejected by the partitioner or
         # silently replicated, defeating the mesh. Fail fast instead.
-        raise ValueError("fast_variant (fused Pallas training) cannot be "
-                         "combined with a mesh; drop --fast_train or the "
+        raise ValueError("fast_variant/packed_variant (Pallas-engine "
+                         "training) cannot be combined with a mesh; drop "
+                         "--fast_train/--packed_train or the "
                          "--n_data/--n_model flags")
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import (
@@ -108,7 +110,7 @@ def fit(
 
     train_epoch, eval_epoch = make_epoch_fns(
         model, tx, detect_r_pos=(r_pos_mode == "detect"),
-        fast_variant=fast_variant,
+        fast_variant=fast_variant, packed_variant=packed_variant,
     )
 
     train_snr_list, test_snr_list = [], []
