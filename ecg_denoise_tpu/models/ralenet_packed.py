@@ -385,20 +385,53 @@ def apply_packed(variables, x, variant: str = "full",
     return _packed_body(params, stem, variant, r_pos, mm_dtype)
 
 
+def _bn_train_sync(x, p, s, axis_name, momentum=0.1, eps=1e-5):
+    """Cross-shard (sync-BN) train-mode BatchNorm1d: the SAME two-pass
+    global mean/variance a single device computes over the full batch —
+    pmean of per-shard means, then pmean of per-shard squared deviations
+    from the GLOBAL mean (exact for equal shard sizes). Running stats use
+    the unbiased variance at the GLOBAL count (torch convention), so a
+    data-parallel step reproduces the single-device step."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 2))
+    mean = jax.lax.pmean(mean, axis_name)
+    var = jnp.mean((xf - mean[None, :, None]) ** 2, axis=(0, 2))
+    var = jax.lax.pmean(var, axis_name)
+    n = (x.shape[0] * x.shape[2]) * jax.lax.psum(1.0, axis_name)
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    new_stats = {
+        "mean": (1 - momentum) * s["mean"] + momentum * mean,
+        "var": (1 - momentum) * s["var"] + momentum * unbiased,
+    }
+    inv = jax.lax.rsqrt(var + eps) * p["scale"]
+    y = (xf - mean[None, :, None]) * inv[None, :, None] \
+        + p["bias"][None, :, None]
+    return y, new_stats
+
+
 def apply_packed_train(variables, x, variant: str = "full",
                        r_pos: Optional[jnp.ndarray] = None,
-                       mm_dtype=jnp.float32):
+                       mm_dtype=jnp.float32,
+                       bn_axis: Optional[str] = None):
     """TRAIN-mode packed forward: same semantics as RaleNet.apply(...,
     train=True, mutable=['batch_stats']) — train-mode stem BatchNorm with
     running-stat updates — with the whole transformer stack in the packed
     layout. Returns (y, new_batch_stats). Fully differentiable (block-diag
     matmul VJPs stay block-diagonal; the attention kernels carry their
     flash-style custom VJPs).
+
+    bn_axis: shard_map axis name for data-parallel training — the stem
+    BatchNorm then computes GLOBAL batch statistics across shards
+    (sync-BN), so DP steps match single-device steps exactly.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
     h = _conv1d(x, params["conv1_conv"], padding=1)
     h = jax.nn.leaky_relu(h, negative_slope=0.2)
-    stem, bn_stats = _bn_train(h, params["conv1_bn"], stats["conv1_bn"])
+    if bn_axis is None:
+        stem, bn_stats = _bn_train(h, params["conv1_bn"], stats["conv1_bn"])
+    else:
+        stem, bn_stats = _bn_train_sync(h, params["conv1_bn"],
+                                        stats["conv1_bn"], bn_axis)
     y = _packed_body(params, stem, variant, r_pos, mm_dtype)
     return y, {"conv1_bn": bn_stats}

@@ -30,7 +30,8 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
                    fast_variant: Optional[str] = None,
                    fast_mm_dtype=None,
                    fast_strategy: str = "fused",
-                   packed_variant: Optional[str] = None):
+                   packed_variant: Optional[str] = None,
+                   packed_mesh=None):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -124,16 +125,71 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def _step_core(params, batch_stats, data, target):
+        """loss/grads/new-BN-stats/metrics for one batch (single device)."""
+        (loss, (pred, new_stats)), grads = grad_fn(params, batch_stats,
+                                                   data, target)
+        return (loss, grads, new_stats,
+                jnp.mean(SNR(target, pred)), jnp.mean(RMSE(target, pred)))
+
+    if packed_variant and packed_mesh is not None:
+        # Data-parallel training for the Pallas-engine forward: the
+        # pallas_calls carry no SPMD partitioning rules, so instead of
+        # jit's sharding propagation the step runs under shard_map — each
+        # device gets its local (bs/n_data) batch, the stem BatchNorm
+        # computes GLOBAL statistics (bn_axis sync-BN), and loss/grads/
+        # metrics are pmean'd, so the DP step reproduces the single-device
+        # step (the same contract tests/test_mesh.py pins for the XLA
+        # path). Per-device batch must stay divisible by 16 (the stage-0
+        # packing factor).
+        from jax.sharding import PartitionSpec as _P
+
+        def _local_loss(params, batch_stats, data, target):
+            pred, new_stats = apply_packed_train(
+                {"params": params, "batch_stats": batch_stats}, data,
+                variant=packed_variant, mm_dtype=mm, bn_axis="data",
+                **r_kw(data))
+            loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+            return loss, (pred, new_stats)
+
+        def _local_step(params, batch_stats, data, target):
+            (loss, (pred, new_stats)), grads = jax.value_and_grad(
+                _local_loss, has_aux=True)(params, batch_stats, data, target)
+            # new_stats already global (sync-BN); reduce the rest.
+            return (jax.lax.pmean(loss, "data"),
+                    jax.lax.pmean(grads, "data"),
+                    new_stats,
+                    jax.lax.pmean(jnp.mean(SNR(target, pred)), "data"),
+                    jax.lax.pmean(jnp.mean(RMSE(target, pred)), "data"))
+
+        # check_vma=False: pallas_call's out_shapes carry no varying-axes
+        # annotation, so the vma checker rejects any kernel launch inside
+        # the map; replication of the P() outputs is guaranteed by the
+        # pmeans (and pinned by the DP==single-device parity test).
+        _step_core = jax.shard_map(
+            _local_step, mesh=packed_mesh,
+            in_specs=(_P(), _P(), _P("data"), _P("data")),
+            out_specs=(_P(), _P(), _P(), _P(), _P()), check_vma=False)
+
+        _eval_local = apply_eval
+
+        def apply_eval(variables, x):  # noqa: F811 — mesh-wrapped eval
+            return jax.shard_map(
+                _eval_local, mesh=packed_mesh,
+                in_specs=(_P(), _P("data")), out_specs=_P("data"),
+                check_vma=False,
+            )(variables, x)
+
     def train_step(state: TrainState, batch):
         data, target = batch
-        (loss, (pred, new_stats)), grads = grad_fn(state.params, state.batch_stats, data, target)
+        loss, grads, new_stats, snr, rmse = _step_core(
+            state.params, state.batch_stats, data, target)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt, step=state.step + 1
         )
-        metrics = (loss, jnp.mean(SNR(target, pred)), jnp.mean(RMSE(target, pred)))
-        return state, metrics
+        return state, (loss, snr, rmse)
 
     @partial(jax.jit, static_argnums=(4,), donate_argnums=(0,) if donate else ())
     def train_epoch(state: TrainState, noisy, clean, key, batch_size: int = 32):

@@ -104,6 +104,47 @@ def test_packed_is_jittable_and_differentiable():
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
 
 
+def test_packed_dp_step_matches_single_device():
+    """The shard_map data-parallel packed trainer (sync-BN + pmean'd
+    grads) reproduces the single-device packed step: same contract
+    tests/test_mesh.py pins for the XLA DP/TP path. SGD keeps the updated
+    params linear in the gradients, so param equality certifies the
+    sharded gradients themselves."""
+    import optax
+
+    from ecg_denoise_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from ecg_denoise_tpu.train.state import create_train_state
+    from ecg_denoise_tpu.train.steps import make_epoch_fns
+
+    model, variables, x = _init("full", key=17, B=32)
+    clean = x * 0.5
+    tx = optax.sgd(0.1)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), x[:2],
+                                  optimizer=tx, variables=variables)
+    train_epoch, eval_epoch = make_epoch_fns(
+        model, tx, donate=False, packed_variant="full")
+    ref_state, ref_m = train_epoch(state, x, clean, jax.random.PRNGKey(1), 32)
+    ref_ev = eval_epoch(ref_state, x, clean, 32)
+
+    mesh = make_mesh(n_data=2, n_model=1)  # 16 windows per shard (>= P0)
+    train_dp, eval_dp = make_epoch_fns(
+        model, tx, donate=False, packed_variant="full", packed_mesh=mesh)
+    with mesh:
+        sh_state = replicate_state(state, mesh)
+        nb, cb = shard_batch(x, mesh), shard_batch(clean, mesh)
+        dp_state, dp_m = train_dp(sh_state, nb, cb, jax.random.PRNGKey(1), 32)
+        dp_ev = eval_dp(dp_state, nb, cb, 32)
+    assert float(dp_m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
+    for r, d in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(d), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(ref_state.batch_stats["conv1_bn"][k]),
+            np.asarray(dp_state.batch_stats["conv1_bn"][k]), atol=1e-6)
+    assert float(dp_ev["snr"]) == pytest.approx(float(ref_ev["snr"]), rel=1e-4)
+
+
 def test_packed_train_epoch_with_detected_rpos():
     """make_epoch_fns(packed_variant=...) composes with detect_r_pos (the
     fused rpos kernel takes per-window offsets natively) and takes a
