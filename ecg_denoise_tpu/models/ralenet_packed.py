@@ -435,3 +435,32 @@ def apply_packed_train(variables, x, variant: str = "full",
                                         stats["conv1_bn"], bn_axis)
     y = _packed_body(params, stem, variant, r_pos, mm_dtype)
     return y, {"conv1_bn": bn_stats}
+
+
+def apply_packed_newrale(variables, x, variant: str = "full",
+                         mm_dtype=jnp.bfloat16):
+    """Eval-mode NewRale (12-lead) forward with the pretrained core in the
+    window-packed layout (models/ralenet_12leads.py semantics: 12->6->2
+    adapter convs, frozen core with eval-mode BN, 2->6->12 expansion;
+    reference model/ralenet_12leads.py:680-709). x: (B, 12, L), B % 16 == 0.
+    """
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+
+    def lrelu(h):
+        return jax.nn.leaky_relu(h, negative_slope=0.01)
+
+    def conv(h, name, pad=6):
+        q = p[name]
+        y = jax.lax.conv_general_dilated(
+            h, q["kernel"], (1,), [(pad, pad)],
+            dimension_numbers=("NCH", "HIO", "NCH"))
+        return y + q["bias"][None, :, None]
+
+    h = lrelu(conv(x, "conv1"))
+    h = lrelu(conv(h, "conv2"))
+    core = {"params": p["rale"],
+            "batch_stats": {"conv1_bn": s["rale"]["conv1_bn"]}}
+    h = apply_packed(core, h, variant=variant, mm_dtype=mm_dtype)
+    h = lrelu(conv(h, "conv3"))
+    return conv(h, "conv4")

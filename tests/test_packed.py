@@ -165,3 +165,19 @@ def test_packed_train_epoch_with_detected_rpos():
     assert int(state2.step) == 2
     ev = eval_epoch(state2, x, clean, 16)
     assert np.isfinite(float(ev["snr"]))
+
+
+def test_packed_newrale_parity_f32():
+    """12-lead NewRale with the packed core == the standard NewRale apply."""
+    from ecg_denoise_tpu.models import NewRale
+    from ecg_denoise_tpu.models.ralenet_packed import apply_packed_newrale
+
+    model = NewRale(variant="full")
+    x = jnp.asarray(
+        np.random.default_rng(21).standard_normal((16, 12, 256)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x[:2], train=False)
+    ref = model.apply(variables, x, train=False)
+    out = apply_packed_newrale(variables, x, variant="full",
+                               mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
