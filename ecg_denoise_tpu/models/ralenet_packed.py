@@ -143,17 +143,30 @@ def _pmat(x, W, b, P, mm_dtype):
     return y
 
 
+def _ln_precision():
+    """ECG_PACKED_LN=high runs the segment-LN stats matmuls as bf16x3
+    (3 MXU passes, ~2e-4 relative) instead of HIGHEST (6 passes, f32-
+    exact) — an on-chip A/B knob; read at trace time."""
+    import os
+
+    if os.environ.get("ECG_PACKED_LN", "") == "high":
+        return jax.lax.Precision.HIGH
+    return _HIGH
+
+
 def _pln(x, p, P, C, out_dtype):
     """Segment LayerNorm over each C-lane window slot (torch eps 1e-5).
 
     mean/var ride a matmul against the block-diagonal averaging matrix —
-    the only cross-lane op — at HIGHEST so f32 stays f32 on the MXU.
+    the only cross-lane op — at HIGHEST (default; see _ln_precision) so
+    f32 stays f32 on the MXU.
     """
+    prec = _ln_precision()
     xf = x.astype(jnp.float32)
     A = jnp.asarray(_ln_avg(P, C))
-    mean = jnp.dot(xf, A, precision=_HIGH)
+    mean = jnp.dot(xf, A, precision=prec)
     d = xf - mean
-    var = jnp.dot(d * d, A, precision=_HIGH)
+    var = jnp.dot(d * d, A, precision=prec)
     y = d * jax.lax.rsqrt(var + 1e-5) * jnp.tile(p["scale"], P) \
         + jnp.tile(p["bias"], P)
     return y.astype(out_dtype)
