@@ -154,6 +154,21 @@ def _ln_precision():
     return _HIGH
 
 
+def _pmat3(x, Ws, bs, P, mm_dtype):
+    """Fused multi-head Dense: x @ [kron(I_P, W) for W in Ws], columnwise.
+
+    One matmul reads x once for all projections; each output block is the
+    bitwise-identical packed result of its projection, at contiguous lane
+    offsets (NOT kron(I, concat(Ws)), which would interleave per segment).
+    """
+    eye = jnp.eye(P, dtype=jnp.float32)
+    Wp = jnp.concatenate([jnp.kron(eye, W) for W in Ws],
+                         axis=1).astype(mm_dtype)
+    b = jnp.concatenate([jnp.tile(b_, P) for b_ in bs]).astype(mm_dtype)
+    return jnp.dot(x.astype(mm_dtype), Wp,
+                   precision=_precision(mm_dtype)) + b
+
+
 def _pln(x, p, P, C, out_dtype):
     """Segment LayerNorm over each C-lane window slot (torch eps 1e-5).
 
@@ -242,10 +257,16 @@ def _pattn(x, p, bias, H, P, C, mm_dtype):
     scale = D ** -0.5
     qkv = p["qkv_proj"]
     Wkv, bkv = qkv["to_kv"]["kernel"], qkv["to_kv"]["bias"]
-    q2 = _pmat(x, qkv["to_q"]["kernel"], qkv["to_q"]["bias"], P, mm_dtype)
-    q2 = q2 * jnp.asarray(scale, mm_dtype)
-    k2 = _pmat(x, Wkv[:, :C], bkv[:C], P, mm_dtype)
-    v2 = _pmat(x, Wkv[:, C:], bkv[C:], P, mm_dtype)
+    # One fused q/k/v matmul: x is read once and the three packed weight
+    # blocks ride one (P*C, 3*P*C) kernel — [kron(I,Wq) | kron(I,Wk) |
+    # kron(I,Wv)] columnwise, so the splits below are contiguous lane
+    # slices, each exactly the per-projection packed output.
+    y = _pmat3(x, (qkv["to_q"]["kernel"], Wkv[:, :C], Wkv[:, C:]),
+               (qkv["to_q"]["bias"], bkv[:C], bkv[C:]), P, mm_dtype)
+    PC = P * C
+    q2 = y[..., :PC] * jnp.asarray(scale, mm_dtype)
+    k2 = y[..., PC:2 * PC]
+    v2 = y[..., 2 * PC:]
 
     B = R * P
     Ph = _pack_factor(B, H, L)  # head-packing factor (kernel-side)
