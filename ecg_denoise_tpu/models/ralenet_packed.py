@@ -17,9 +17,10 @@ those boundaries: the layout is packed ONCE after the stem and unpacked
 ONCE before the head, and every op in between is expressed so it never
 leaves the packed layout:
 
-* Dense layers: block-diagonal kron(I_P, W) weights — bitwise-identical
-  math (the off-block zeros cannot perturb the accumulation), full
-  128-lane tiles.
+* Dense layers: block-diagonal kron(I_P, W) weights — exact math up to
+  summation-order rounding (the off-block zeros cannot perturb any
+  partial sum; only the reduction-tree pairing of the C real terms
+  changes, ~ulp scale), full 128-lane tiles.
 * LayerNorm over C: segment mean/variance via one matmul against
   kron(I_P, ones(C,C)/C) — no reshape, no lane shuffle.
 * PatchMerging / PatchSeparate (reference transformer.py:412-460): the
@@ -133,8 +134,9 @@ def _leff_mask(P: int, hidden: int) -> np.ndarray:
 def _pmat(x, W, b, P, mm_dtype):
     """x (R, L, P*Cin) @ kron(I_P, W(Cin, Cout)) + tiled bias.
 
-    Bitwise-identical to the per-window Dense (x*0.0 off-block terms are
-    exact zeros in the accumulation); only the tile economics change.
+    Matches the per-window Dense up to summation-order rounding (x*0.0
+    off-block terms are exact zeros; only the reduction-tree pairing of
+    the Cin real terms changes — ulp scale); tile economics change.
     """
     Wp = jnp.kron(jnp.eye(P, dtype=jnp.float32), W).astype(mm_dtype)
     y = jnp.dot(x.astype(mm_dtype), Wp, precision=_precision(mm_dtype))
@@ -157,9 +159,9 @@ def _ln_precision():
 def _pmat3(x, Ws, bs, P, mm_dtype):
     """Fused multi-head Dense: x @ [kron(I_P, W) for W in Ws], columnwise.
 
-    One matmul reads x once for all projections; each output block is the
-    bitwise-identical packed result of its projection, at contiguous lane
-    offsets (NOT kron(I, concat(Ws)), which would interleave per segment).
+    One matmul reads x once for all projections; each output block is
+    its projection's packed result at contiguous lane offsets (NOT
+    kron(I, concat(Ws)), which would interleave per segment).
     """
     eye = jnp.eye(P, dtype=jnp.float32)
     Wp = jnp.concatenate([jnp.kron(eye, W) for W in Ws],

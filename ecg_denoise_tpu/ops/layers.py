@@ -52,8 +52,9 @@ def _dense_pack_factor(rows: int, c_in: int, c_out: int) -> int:
     P row-groups against a block-diagonal kron(I_P, W) kernel makes the
     matmul (rows/P, P*C) x (P*C, P*C): full 128-wide tiles, P times fewer
     output tiles. The off-diagonal weight blocks are exact zeros, so the
-    result is bitwise identical (x*0.0 terms cannot perturb the
-    accumulation); only the tile economics change.
+    result matches up to summation-order rounding (x*0.0 terms cannot
+    perturb any partial sum; only the reduction-tree pairing of the C
+    real terms changes — ulp scale); the tile economics change.
     """
     import os
 
@@ -74,7 +75,8 @@ class Dense(nn.Module):
 
     lane_pack=True applies block-diagonal MXU packing for tiny feature
     dims — see _dense_pack_factor. Parameter layout is unchanged
-    (checkpoints/interop unaffected) and results are bitwise identical.
+    (checkpoints/interop unaffected); results match at ulp scale
+    (summation-order rounding only).
 
     MEASURED OFF by default (round-3 A/B, runs/r3_ab.log): on v5e at batch
     2048 the packed model runs 16.8k w/s vs 55.2k unpacked — XLA's

@@ -181,3 +181,119 @@ def test_packed_newrale_parity_f32():
                                mm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+# --- fast unit tests for the packed-layout primitives (no model) -------------
+
+
+def _pack_windows(x, P):  # (B, L, C) -> (B/P, L, P*C), canonical order
+    B, L, C = x.shape
+    return (x.reshape(B // P, P, L, C).transpose(0, 2, 1, 3)
+            .reshape(B // P, L, P * C))
+
+
+def _unpack_windows(z, P, C):  # inverse of _pack_windows
+    R, L, PC = z.shape
+    return (z.reshape(R, L, P, C).transpose(0, 2, 1, 3)
+            .reshape(R * P, L, C))
+
+
+def test_pmat_bitwise_equals_per_window_dense():
+    from ecg_denoise_tpu.models.ralenet_packed import _pmat
+
+    rng = np.random.default_rng(0)
+    B, L, C, Cout, P = 8, 4, 8, 32, 16
+    x = jnp.asarray(rng.standard_normal((B * P, L, C)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((C, Cout)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+    ref = jnp.dot(x, W, precision=jax.lax.Precision.HIGHEST) + b
+    zp = _pmat(_pack_windows(x, P), W, b, P, jnp.float32)
+    got = _unpack_windows(zp, P, Cout)
+    # Exact math up to summation-order rounding: the off-block zeros
+    # cannot perturb any partial sum, but a K=128 contraction pairs the
+    # 8 real terms in a different reduction tree than K=8 (measured ~2
+    # ulp f32 drift on CPU), so the gate is ulp-scale, not bitwise.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-6)
+
+
+def test_pln_matches_layernorm():
+    from ecg_denoise_tpu.models.ralenet_packed import _pln
+    from ecg_denoise_tpu.ops.layers import LayerNorm
+
+    rng = np.random.default_rng(1)
+    B, L, C, P = 16, 8, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, L, C)) * 3 + 1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    ref = LayerNorm().apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    zp = _pln(_pack_windows(x, P), {"scale": scale, "bias": bias}, P, C,
+              jnp.float32)
+    got = _unpack_windows(zp, P, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pmerge_psep_match_reference_formulations():
+    """Packed PatchMerging/PatchSeparate == the per-window formulations
+    (even/odd interleave + channel concat; channel halves -> length),
+    including the batch-row exchange's canonical window order."""
+    from ecg_denoise_tpu.models.ralenet_packed import _pmerge, _psep
+
+    rng = np.random.default_rng(2)
+    B, L, C, P = 16, 8, 16, 8
+
+    def ln_id_params(c):
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+    x = jnp.asarray(rng.standard_normal((B, L, C)), jnp.float32)
+
+    # merge reference (ops/attention.py PatchMerging semantics, identity
+    # LN scale/bias and identity reduction to isolate the layout math):
+    Wm = jnp.eye(2 * C, dtype=jnp.float32)
+    pm = {"norm": ln_id_params(2 * C), "reduction": {"kernel": Wm}}
+    cat = jnp.concatenate([x[:, 0::2, :], x[:, 1::2, :]], axis=-1)
+    mf = cat.astype(jnp.float32)
+    mean = jnp.mean(mf, axis=-1, keepdims=True)
+    var = jnp.mean((mf - mean) ** 2, axis=-1, keepdims=True)
+    ref_merge = (mf - mean) * jax.lax.rsqrt(var + 1e-5)
+    got = _pmerge(_pack_windows(x, P), pm, P, C, jnp.float32)
+    got_merge = _unpack_windows(got, P // 2, 2 * C)
+    np.testing.assert_allclose(np.asarray(got_merge), np.asarray(ref_merge),
+                               atol=1e-5, rtol=1e-5)
+
+    # separate reference (channel-half CONCATENATION along length):
+    half = C // 2
+    Ws = jnp.eye(half, dtype=jnp.float32)
+    ps = {"norm": ln_id_params(half), "reduction": {"kernel": Ws}}
+    sep = jnp.concatenate([x[:, :, :half], x[:, :, half:]], axis=1)
+    sf = sep.astype(jnp.float32)
+    mean = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.mean((sf - mean) ** 2, axis=-1, keepdims=True)
+    ref_sep = (sf - mean) * jax.lax.rsqrt(var + 1e-5)
+    got = _psep(_pack_windows(x, P), ps, P, C, jnp.float32)
+    got_sep = _unpack_windows(got, 2 * P, half)
+    np.testing.assert_allclose(np.asarray(got_sep), np.asarray(ref_sep),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pleff_matches_partial_conv():
+    """Packed LeFF conv == PartialConv1d with n_div == dim (one channel
+    convolved, cross-correlation k=3 pad=1, no bias)."""
+    from ecg_denoise_tpu.models.ralenet_packed import _pleff
+
+    rng = np.random.default_rng(3)
+    B, L, hidden, P = 8, 16, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, L, hidden)), jnp.float32)
+    taps = jnp.asarray(rng.standard_normal((3, 1, 1)), jnp.float32)
+    # reference: convolve channel 0 over length, pass the rest through.
+    xc = x.transpose(0, 2, 1)  # (B, hidden, L)
+    x0 = jax.lax.conv_general_dilated(
+        xc[:, :1, :], taps, (1,), [(1, 1)],
+        dimension_numbers=("NCH", "HIO", "NCH"))
+    ref = jnp.concatenate([x0, xc[:, 1:, :]], axis=1).transpose(0, 2, 1)
+    got = _unpack_windows(
+        _pleff(_pack_windows(x, P), taps, P, hidden), P, hidden)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
