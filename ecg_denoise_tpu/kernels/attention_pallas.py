@@ -52,6 +52,44 @@ def _softmax_f32(logits):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _maxfree() -> bool:
+    """ECG_ATTN_MAXFREE=1 drops the softmax's per-row max lane-tree
+    (experiment knob, read at trace time; see _exp_unnorm)."""
+    import os
+
+    return os.environ.get("ECG_ATTN_MAXFREE", "0") == "1"
+
+
+_MAXFREE_CAP = 60.0  # e^60 ~ 1.1e26: far below f32/bf16 overflow even after
+#                      the 128-lane pv accumulation against O(10) values.
+
+
+def _exp_unnorm(logits):
+    """Unnormalized softmax numerator e (f32) from f32 logits.
+
+    Default: subtract the per-row max (overflow-safe for any input). With
+    the normalizer FOLDED into the pv matmul, exp(x - c)/sum_m exp(x - c)
+    is exactly softmax for ANY per-row constant c — the max subtraction is
+    pure overflow protection, paid as the kernel's last remaining lane-tree
+    reduction (fwd AND both flash backwards recompute it). ECG_ATTN_MAXFREE
+    replaces it with a VPU-elementwise cap min(x, 60): bit-exact whenever
+    no logit exceeds 60 (q@k/sqrt(D) scores in trained RA-LENets are O(10));
+    beyond the cap the weights saturate instead of overflowing. Rows whose
+    every logit is < ~-87 underflow to all-zero — callers guard the 0/0
+    with a denominator floor (the default path keeps its bit-identical
+    unguarded divide)."""
+    if _maxfree():
+        return jnp.exp(jnp.minimum(logits, _MAXFREE_CAP))
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    return jnp.exp(logits - m)
+
+
+def _guard_den(den):
+    """Denominator floor for the maxfree path (see _exp_unnorm); identity
+    on the default path so its numerics stay bit-identical."""
+    return jnp.maximum(den, 1e-37) if _maxfree() else den
+
+
 def _bmm(a, b, contract, batch=((0,), (0,)), precision=None):
     """Batched (over heads) matmul with f32 accumulation.
 
@@ -191,8 +229,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref=None, mode=""):
         # a ones row so the pv contraction emits sum_m e[l, m] as a free
         # extra output row (D=4 pads to 8 sublanes anyway), then divide
         # the (D, L) output by it — a sublane-broadcast, not a lane tree.
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(logits - m).astype(v.dtype)  # unnormalized
+        # _exp_unnorm optionally drops the max tree too (ECG_ATTN_MAXFREE).
+        probs = _exp_unnorm(logits).astype(v.dtype)  # unnormalized
     if mode == "nopv":
         out = probs[:, :D, :]
         if s_ref is not None:
@@ -203,7 +241,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref=None, mode=""):
         # of[j, l] = sum_m vx[j, m] e[l, m]; row D is the softmax sum.
         of = _bmm(vx, probs, ((2,), (2,)),
                   precision=_pv_precision(v.dtype))  # (G*H, D+1, L) f32
-        out = of[:, :D, :] / of[:, D:, :]
+        out = of[:, :D, :] / _guard_den(of[:, D:, :])
         if mode == "nosm":  # keep the ablation comparable: no normalizer
             out = of[:, :D, :]
         if s_ref is not None:
@@ -278,11 +316,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
     if not _flash_bwd_wanted():
         ds, dv = _ds_classic(logits, g, v)
     else:
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)  # unnormalized probs, f32 (E, L, M)
+        e = _exp_unnorm(logits)  # unnormalized probs, f32 (E, L, M)
         en = e.astype(v.dtype)
 
-        rs = 1.0 / s                               # (E, 1, L), lane-major l
+        rs = 1.0 / _guard_den(s)                   # (E, 1, L), lane-major l
         gf = g.astype(jnp.float32)
         gs = (gf * rs).astype(g.dtype)             # fold 1/s into g
         # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e[l,m] (g/s)[d,l]
@@ -725,16 +762,16 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref,
         blk = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0) // L \
             == jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
         l4 = l4 + jnp.where(blk, 0.0, _NEG_INF)[None, None]
-    # Sum/divide folded into pv via a ones row (see _fwd_kernel note).
+    # Sum/divide folded into pv via a ones row (see _fwd_kernel note);
+    # _exp_unnorm optionally drops the max tree (ECG_ATTN_MAXFREE).
     lg = l4.reshape(G * Hp, PL, PL)
-    mx = jnp.max(lg, axis=-1, keepdims=True)
-    en = jnp.exp(lg - mx).astype(v.dtype)
+    en = _exp_unnorm(lg).astype(v.dtype)
     E, D = G * Hp, v.shape[1]
     ones = jnp.ones((E, 1, PL), v.dtype)
     vx = jnp.concatenate([v, ones], axis=1)
     of = _bmm(vx, en, ((2,), (2,)),
               precision=_pv_precision(v.dtype))  # (E, D+1, PL) f32
-    out = of[:, :D, :] / of[:, D:, :]
+    out = of[:, :D, :] / _guard_den(of[:, D:, :])
     if s_ref is not None:
         s_ref[:] = of[:, D:, :].reshape(G, Hp, 1, PL).astype(s_ref.dtype)
     o_ref[:] = out.reshape(G, Hp, D, PL).astype(o_ref.dtype)
@@ -766,11 +803,10 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
     if not _flash_bwd_wanted():
         ds, dv = _ds_classic(lg, g, v)
     else:
-        mx = jnp.max(lg, axis=-1, keepdims=True)
-        e = jnp.exp(lg - mx)  # unnormalized probs, f32
+        e = _exp_unnorm(lg)  # unnormalized probs, f32
         en = e.astype(v.dtype)
 
-        rs = 1.0 / s
+        rs = 1.0 / _guard_den(s)
         gf = g.astype(jnp.float32)
         gs = (gf * rs).astype(g.dtype)
         dv = _bmm(gs, en, ((2,), (1,)))

@@ -281,3 +281,70 @@ def test_fused_attention_dense_grad_matches(monkeypatch):
     g_pal = jax.grad(loss_pal, (0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+@pytest.mark.parametrize("L,H", [(256, 2), (16, 32)])
+def test_fused_attention_maxfree_parity(L, H, with_bias, monkeypatch):
+    """ECG_ATTN_MAXFREE=1 (no per-row max tree; exp(min(x, 60)) with the
+    normalizer folded in pv) vs the XLA path, fwd + grads: exact softmax
+    for any logits <= 60, so random O(1) inputs must match at the same
+    tolerance as the default kernel. Covers packed (L=16, P=8 block-diag
+    -1e9 mask -> exp(-1e9) == 0 exactly) and unpacked (L=256) shapes."""
+    monkeypatch.setenv("ECG_ATTN_MAXFREE", "1")
+    B, D = 2, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    bias = _rand((1, H, L, L), 7) if with_bias else None
+    ref = multi_head_attention(q, k, v, bias)
+    out = ap.fused_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(multi_head_attention(q, k, v, bias) ** 2)
+
+    def loss_pal(q, k, v, bias):
+        return jnp.sum(ap.fused_attention(q, k, v, bias) ** 2)
+
+    argnums = (0, 1, 2, 3) if with_bias else (0, 1, 2)
+    g_ref = jax.grad(loss_ref, argnums)(q, k, v, bias)
+    g_pal = jax.grad(loss_pal, argnums)(q, k, v, bias)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_attention_maxfree_rpos_parity(monkeypatch):
+    """Maxfree through the per-window rpos kernel (fwd + grads)."""
+    monkeypatch.setenv("ECG_ATTN_MAXFREE", "1")
+    B, H, L, D, W = 4, 8, 64, 4, 8
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    toep = _toep(L, W, H)
+    r_pos = jnp.asarray([0, 5, L // 2, L - 1], jnp.int32)
+    offsets = (r_pos - W // 2).astype(jnp.float32)
+    bias = _materialize_rpos(toep, offsets, W)
+
+    def loss_ref(q, k, v, toep):
+        bias = _materialize_rpos(toep, offsets, W)
+        return jnp.sum(multi_head_attention(q, k, v, bias) ** 2)
+
+    def loss_pal(q, k, v, toep):
+        return jnp.sum(ap.fused_attention_rpos(q, k, v, toep, W, offsets) ** 2)
+
+    out = ap.fused_attention_rpos(q, k, v, toep, W, offsets)
+    ref = multi_head_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, toep)
+    g_pal = jax.grad(loss_pal, (0, 1, 2, 3))(q, k, v, toep)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_maxfree_underflow_row_is_finite(monkeypatch):
+    """A row whose every logit is < -87 underflows to an all-zero
+    numerator under maxfree; the denominator floor must yield finite
+    output (zeros), not 0/0 NaN."""
+    monkeypatch.setenv("ECG_ATTN_MAXFREE", "1")
+    B, H, L, D = 1, 2, 256, 4
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    bias = jnp.full((1, H, L, L), -200.0, jnp.float32)  # all rows underflow
+    out = ap.fused_attention(q, k, v, bias)
+    assert np.isfinite(np.asarray(out)).all()
