@@ -245,7 +245,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref=None, mode=""):
         if mode == "nosm":  # keep the ablation comparable: no normalizer
             out = of[:, :D, :]
         if s_ref is not None:
-            s_ref[:] = of[:, D:, :].reshape(G, H, 1, L).astype(s_ref.dtype)
+            s_ref[:] = jnp.broadcast_to(
+                of[:, D:, :].reshape(G, H, 1, L), (G, H, _S_SUB, L)
+            ).astype(s_ref.dtype)
     o_ref[:] = out.reshape(G, H, D, L).astype(o_ref.dtype)
 
 
@@ -308,7 +310,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
     v = v_ref[:].reshape(E, D, L)
     g = g_ref[:].reshape(E, D, L)
     o = o_ref[:].reshape(E, D, L).astype(jnp.float32)
-    s = s_ref[:].reshape(E, 1, L).astype(jnp.float32)  # folded softmax sums
+    # folded softmax sums: sublane 0 of the 8-row residual (_S_SUB)
+    s = s_ref[:][:, :, :1, :].reshape(E, 1, L).astype(jnp.float32)
     logits = _logits(q, k)
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)
@@ -578,18 +581,28 @@ def _fwd(q, k, v, bias, want_s=False):
                     H, L, want_s=want_s)
 
 
+# The softmax-sum residual's sublane count. A (1, L) trailing block is
+# legal by the "equal to the array's dims" rule and compiled on the
+# round-2/3 libtpu, but the 2026-08-18 container's newer libtpu ABORTS
+# lowering it (lower_to_llo.cc:1093 `Check failed: d >> 32 == 0 (-1 vs
+# 0)` in LLOOpBuilder::cst — runs/r3l_mosaic_probe.log pinned it to the
+# want_s forward alone). A single sublane pads to 8 in VMEM regardless,
+# so an explicit 8-sublane residual (broadcast on write, row 0 on read)
+# is physically free and sidesteps the crashing masked 1-sublane store.
+_S_SUB = 8
+
+
 def _s_spec(G, H, L):
-    # Softmax-sum residual rides as (B, H, 1, L): the block's last two
-    # dims equal the array's (the Mosaic rule _off_spec documents), the
-    # lane dim stays L (dense), and the kernel-side (E, 1, L) view is a
-    # leading-dims-only reshape (Mosaic-safe).
-    return pl.BlockSpec((G, H, 1, L), lambda b: (b, 0, 0, 0),
+    # Softmax-sum residual rides as (B, H, _S_SUB, L): last-two block dims
+    # equal the array's, lane dim stays L (dense), and the kernel-side
+    # (E, 1, L) view slices sublane 0 (see _S_SUB).
+    return pl.BlockSpec((G, H, _S_SUB, L), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _fwd_call(qt, kt, vt, bias, H, L, *, want_s=False):
     """The raw kernel launch on pre-transposed (B, H, D, L) operands;
-    returns (B, H, D, L) (plus the (B, H, 1, L) f32 softmax sums when
+    returns (B, H, D, L) (plus the (B, H, _S_SUB, L) f32 softmax sums when
     want_s). Factored out so glue cost (the XLA transposes in _fwd_raw)
     can be measured separately (profile_forward.py iso-raw)."""
     B, _, D, _ = qt.shape
@@ -611,7 +624,8 @@ def _fwd_call(qt, kt, vt, bias, H, L, *, want_s=False):
     out_shape = jax.ShapeDtypeStruct((B, H, D, L), qt.dtype)
     if want_s:
         out_specs = [out_specs, _s_spec(G, H, L)]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, H, _S_SUB, L), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
@@ -773,7 +787,9 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref,
               precision=_pv_precision(v.dtype))  # (E, D+1, PL) f32
     out = of[:, :D, :] / _guard_den(of[:, D:, :])
     if s_ref is not None:
-        s_ref[:] = of[:, D:, :].reshape(G, Hp, 1, PL).astype(s_ref.dtype)
+        s_ref[:] = jnp.broadcast_to(
+            of[:, D:, :].reshape(G, Hp, 1, PL), (G, Hp, _S_SUB, PL)
+        ).astype(s_ref.dtype)
     o_ref[:] = out.reshape(G, Hp, D, PL).astype(o_ref.dtype)
 
 
@@ -789,7 +805,7 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
     v = v_ref[:].reshape(E, D, PL)
     g = g_ref[:].reshape(E, D, PL)
     o = o_ref[:].reshape(E, D, PL).astype(jnp.float32)
-    s = s_ref[:].reshape(E, 1, PL).astype(jnp.float32)
+    s = s_ref[:][:, :, :1, :].reshape(E, 1, PL).astype(jnp.float32)
     logits = _logits(q, k)
     m = _window_mask(off_ref, W, G, L, PL)  # (G, PL)
     mm = m[:, None, :, None] * m[:, None, None, :]  # (G, 1, PL, PL)
@@ -873,7 +889,7 @@ def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp, *, want_s=False):
     if want_s:
         out_specs = [out_specs, _s_spec(G, Hp, Lp)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, Hp, 1, Lp), jnp.float32)]
+                     jax.ShapeDtypeStruct((B, Hp, _S_SUB, Lp), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
