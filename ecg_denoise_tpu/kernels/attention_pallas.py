@@ -26,7 +26,11 @@ TPU-first design notes (see /opt/skills/guides/pallas_guide.md):
   O(B*H*L) residual (no sum tree, no divide — only the bit-deterministic
   max tree is recomputed), and the softmax-jacobian row term uses the
   delta identity c[l] = sum_d g[d,l]*o[d,l] against the saved forward
-  output (no dp*p reduction tree).
+  output (no dp*p reduction tree). Round-3f on top: the whole flash
+  branch is computed TRANSPOSED (logits^T = k·q, dp^T = v·g — swapped
+  dot operands cost nothing) so the per-row scalars c and 1/s broadcast
+  from their native lane-major layout; the previous identity-matmul
+  lane->sublane transpose and its E-unrolled slice loop are gone.
 
 Whole windows fit in VMEM (worst case L=256: a handful of 256x256 f32
 buffers, ~1.5 MB), so no inner blocking is needed — blockwise tiling only
@@ -88,6 +92,18 @@ def _guard_den(den):
     """Denominator floor for the maxfree path (see _exp_unnorm); identity
     on the default path so its numerics stay bit-identical."""
     return jnp.maximum(den, 1e-37) if _maxfree() else den
+
+
+def _exp_unnorm_t(logits_t):
+    """_exp_unnorm for TRANSPOSED logits (lt[m, l]): the softmax row l is
+    a lane column, so the protective max reduces over the SUBLANE axis —
+    same values as the forward's per-row max, so the saved folded sums
+    stay consistent (max is exact; the only divergence is <=1 ulp of f32
+    from the swapped-operand dot accumulation order)."""
+    if _maxfree():
+        return jnp.exp(jnp.minimum(logits_t, _MAXFREE_CAP))
+    m = jnp.max(logits_t, axis=-2, keepdims=True)
+    return jnp.exp(logits_t - m)
 
 
 def _bmm(a, b, contract, batch=((0,), (0,)), precision=None):
@@ -272,36 +288,25 @@ def _ds_classic(logits, g, v):
     return ds, dv
 
 
-def _lane_to_sublane(t2d, L):
-    """(R, L) lane-major rows -> (L, R) sublane-major, via an MXU pass
-    against an iota-built identity matrix.
-
-    Mosaic has no cheap lane->sublane relayout primitive for VPU use, but
-    dot_general's output-dimension ordering IS one: contracting I(L, L)
-    dim 1 with t2d dim 1 emits (lhs_free, rhs_free) = (L, R). Same
-    0/1-matrix-matmul formulation block_pallas.py uses for conv shifts.
-    Runs at HIGHEST so f32 scale factors (softmax sums, jacobian row
-    terms) are not bf16-rounded into correlated per-row errors (the r3b
-    numerics lesson, docs/PROFILE_r3.md)."""
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-             ).astype(jnp.float32)
-    return jax.lax.dot_general(
-        ident, t2d, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-
-
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref):
     # Flash-style backward with the forward's folded softmax sum as a
     # residual (s_ref; see _fwd_kernel) and the flash delta identity:
     #   c[l] = sum_m p[l,m] dp[l,m] = sum_d g[d,l] o[d,l]
     # so the probabilities are never re-normalized: only the max tree is
-    # recomputed (bit-deterministic, so the saved sum stays consistent),
-    # and the old sum tree, full-tile divide, and dp*p reduction tree are
-    # all gone (r3c ablation: the softmax's 128-lane tree reductions were
-    # the kernel's largest compute term).
+    # recomputed, and the old sum tree, full-tile divide, and dp*p
+    # reduction tree are all gone (r3c ablation: the softmax's 128-lane
+    # tree reductions were the kernel's largest compute term).
+    #
+    # Round-3f refinement: the whole flash branch runs TRANSPOSED —
+    # logits^T = k·q and dp^T = v·g (swapped dot operands, zero extra
+    # cost), so ds^T[m, l] = e^T[m, l] (dp^T[m, l] − c[l]) / s[l] needs
+    # c and 1/s indexed by l on LANES, exactly where the lane-major
+    # residual and delta row already live. The previous formulation paid
+    # one MXU identity pass plus an E-unrolled loop of (L, 1) slices to
+    # move them onto sublanes; both are gone. The caller transposes the
+    # static bias in and the accumulated dbias out (tiny XLA transposes,
+    # once per call, not per grid step).
     b = pl.program_id(0)
     G, H, D, L = q_ref.shape
     E = G * H
@@ -309,53 +314,61 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, o_ref, s_ref,
     k = k_ref[:].reshape(E, D, L)
     v = v_ref[:].reshape(E, D, L)
     g = g_ref[:].reshape(E, D, L)
+    if not _flash_bwd_wanted():
+        logits = _logits(q, k)
+        if bias_ref is not None:
+            bias = bias_ref[:].astype(jnp.float32)
+            logits = (logits.reshape(G, H, L, L) + bias).reshape(E, L, L)
+        ds, dv = _ds_classic(logits, g, v)
+        dsn = ds.astype(q.dtype)
+        # dq[d,l] = sum_m ds[l,m] k[d,m] ; dk[d,m] = sum_l ds[l,m] q[d,l]
+        dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(
+            dq_ref.dtype)
+        dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, H, D, L).astype(
+            dk_ref.dtype)
+        dv_ref[:] = dv.reshape(G, H, D, L).astype(dv_ref.dtype)
+        if dbias_ref is not None:
+            # Sequential-grid accumulation over the batch axis.
+            @pl.when(b == 0)
+            def _():
+                dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
+
+            dbias_ref[:] += jnp.sum(ds.reshape(G, H, L, L), axis=0).astype(
+                dbias_ref.dtype)
+        return
+
     o = o_ref[:].reshape(E, D, L).astype(jnp.float32)
     # folded softmax sums: sublane 0 of the 8-row residual (_S_SUB)
     s = s_ref[:][:, :, :1, :].reshape(E, 1, L).astype(jnp.float32)
-    logits = _logits(q, k)
+    logits_t = _logits(k, q)  # (E, M, L): lt[m, l] = sum_d k[d,m] q[d,l]
     if bias_ref is not None:
-        bias = bias_ref[:].astype(jnp.float32)
-        logits = (logits.reshape(G, H, L, L) + bias).reshape(E, L, L)
-    if not _flash_bwd_wanted():
-        ds, dv = _ds_classic(logits, g, v)
-    else:
-        e = _exp_unnorm(logits)  # unnormalized probs, f32 (E, L, M)
-        en = e.astype(v.dtype)
+        bias_t = bias_ref[:].astype(jnp.float32)  # pre-transposed (H, M, L)
+        logits_t = (logits_t.reshape(G, H, L, L) + bias_t).reshape(E, L, L)
+    e_t = _exp_unnorm_t(logits_t)                 # f32 (E, M, L)
 
-        rs = 1.0 / _guard_den(s)                   # (E, 1, L), lane-major l
-        gf = g.astype(jnp.float32)
-        gs = (gf * rs).astype(g.dtype)             # fold 1/s into g
-        # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e[l,m] (g/s)[d,l]
-        dv = _bmm(gs, en, ((2,), (1,)))            # (E, D, M)
-        dp = _bmm(g, v, ((1,), (1,)))              # (E, L, M) f32
-        c = jnp.sum(gf * o, axis=1, keepdims=True)  # (E, 1, L) delta identity
-
-        # ds[l,m] = e[l,m] * (dp[l,m] - c[l]) / s[l] needs c and 1/s
-        # indexed by l on SUBLANES; both arrive lane-major (lane
-        # reductions / saved matmul rows). One MXU identity pass
-        # transposes the stacked pair.
-        t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, L)
-        tT = _lane_to_sublane(t2d, L)              # (L, 2E) f32
-        parts = []
-        for i in range(E):
-            cT = tT[:, 2 * i:2 * i + 1]            # (L, 1)
-            rT = tT[:, 2 * i + 1:2 * i + 2]        # (L, 1)
-            parts.append(((dp[i] - cT) * e[i] * rT)[None])
-        ds = jnp.concatenate(parts, axis=0)        # (E, L, M) f32
-    dsn = ds.astype(q.dtype)
-    # dq[d,l] = sum_m ds[l,m] k[d,m] ; dk[d,m] = sum_l ds[l,m] q[d,l]
-    dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(dq_ref.dtype)
-    dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, H, D, L).astype(dk_ref.dtype)
+    rs = 1.0 / _guard_den(s)                      # (E, 1, L), lane-major l
+    gf = g.astype(jnp.float32)
+    gs = (gf * rs).astype(g.dtype)                # fold 1/s into g
+    # dv[d,m] = sum_l p[l,m] g[d,l] = sum_l e^T[m,l] (g/s)[d,l]
+    dv = _bmm(gs, e_t.astype(v.dtype), ((2,), (2,)))  # (E, D, M)
+    dp_t = _bmm(v, g, ((1,), (1,)))               # (E, M, L) f32
+    c = jnp.sum(gf * o, axis=1, keepdims=True)    # (E, 1, L) delta identity
+    ds_t = e_t * (dp_t - c) * rs                  # lane broadcasts only
+    dsn = ds_t.astype(q.dtype)
+    # dq[d,l] = sum_m ds^T[m,l] k[d,m] ; dk[d,m] = sum_l ds^T[m,l] q[d,l]
+    dq_ref[:] = _bmm(k, dsn, ((2,), (1,))).reshape(G, H, D, L).astype(
+        dq_ref.dtype)
+    dk_ref[:] = _bmm(q, dsn, ((2,), (2,))).reshape(G, H, D, L).astype(
+        dk_ref.dtype)
     dv_ref[:] = dv.reshape(G, H, D, L).astype(dv_ref.dtype)
     if dbias_ref is not None:
-        # Sequential-grid accumulation over the batch axis.
+        # Sequential-grid accumulation of ds^T; the caller transposes once.
         @pl.when(b == 0)
         def _():
             dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
 
-        dbias_ref[:] += jnp.sum(ds.reshape(G, H, L, L), axis=0).astype(
-            dbias_ref.dtype
-        )
+        dbias_ref[:] += jnp.sum(ds_t.reshape(G, H, L, L), axis=0).astype(
+            dbias_ref.dtype)
 
 
 def _elem_spec(G, H, D, L):
@@ -682,6 +695,12 @@ def _bwd_call(qt, kt, vt, bias, gt, ot, s, H, L, *, want_dbias):
     (B, H, D, L) plus dbias (H, L, L) f32."""
     B, _, D, _ = qt.shape
     has_bias = bias is not None
+    flash = _flash_bwd_wanted()
+    if has_bias and flash:
+        # The flash branch works on transposed logits (see _bwd_kernel):
+        # the static bias goes in transposed, the accumulated ds^T sum
+        # comes back out transposed.
+        bias = bias.transpose(0, 2, 1)
 
     def kernel(*refs):
         i = 3
@@ -718,6 +737,8 @@ def _bwd_call(qt, kt, vt, bias, gt, ot, s, H, L, *, want_dbias):
     )(*args)
     if has_bias and want_dbias:
         dq, dk, dv, dbias = outs
+        if flash:
+            dbias = dbias.transpose(0, 2, 1)
     else:
         dq, dk, dv = outs
         dbias = None
@@ -796,7 +817,11 @@ def _fwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, o_ref,
 def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
                      o_ref, s_ref, dq_ref, dk_ref, dv_ref, dtoep_ref):
     # Flash-style backward: saved folded softmax sums + the delta
-    # identity, same as _bwd_kernel (which documents the scheme).
+    # identity, TRANSPOSED like _bwd_kernel (which documents the scheme).
+    # The window outer-product mask and the packing block mask are
+    # symmetric, so they apply unchanged to the transposed logits; the
+    # Toeplitz table is not — the caller passes it pre-transposed (and
+    # transposes the accumulated dtoep^T back, once per call).
     b = pl.program_id(0)
     G, Hp, D, PL = q_ref.shape
     E = G * Hp
@@ -804,49 +829,55 @@ def _bwd_rpos_kernel(W, L, q_ref, k_ref, v_ref, toep_ref, off_ref, g_ref,
     k = k_ref[:].reshape(E, D, PL)
     v = v_ref[:].reshape(E, D, PL)
     g = g_ref[:].reshape(E, D, PL)
-    o = o_ref[:].reshape(E, D, PL).astype(jnp.float32)
-    s = s_ref[:][:, :, :1, :].reshape(E, 1, PL).astype(jnp.float32)
-    logits = _logits(q, k)
     m = _window_mask(off_ref, W, G, L, PL)  # (G, PL)
-    mm = m[:, None, :, None] * m[:, None, None, :]  # (G, 1, PL, PL)
+    mm = m[:, None, :, None] * m[:, None, None, :]  # (G, 1, PL, PL), symm.
     toep = toep_ref[:].astype(jnp.float32)
-    l4 = logits.reshape(G, Hp, PL, PL) + toep[None] * mm
     if PL != L:
         blk = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0) // L \
             == jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1) // L
-        l4 = l4 + jnp.where(blk, 0.0, _NEG_INF)[None, None]
-    lg = l4.reshape(E, PL, PL)
-    if not _flash_bwd_wanted():
-        ds, dv = _ds_classic(lg, g, v)
+        blk_pen = jnp.where(blk, 0.0, _NEG_INF)[None, None]  # symmetric
     else:
-        e = _exp_unnorm(lg)  # unnormalized probs, f32
-        en = e.astype(v.dtype)
-
-        rs = 1.0 / _guard_den(s)
+        blk_pen = None
+    flash = _flash_bwd_wanted()
+    if not flash:
+        l4 = _logits(q, k).reshape(G, Hp, PL, PL) + toep[None] * mm
+    else:
+        # lt[m, l]: toep arrives pre-transposed, masks are symmetric.
+        l4 = _logits(k, q).reshape(G, Hp, PL, PL) + toep[None] * mm
+    if blk_pen is not None:
+        l4 = l4 + blk_pen
+    lg = l4.reshape(E, PL, PL)
+    if not flash:
+        ds, dv = _ds_classic(lg, g, v)
+        dsn = ds.astype(q.dtype)
+        dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, Hp, D, PL).astype(
+            dq_ref.dtype)
+        dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, Hp, D, PL).astype(
+            dk_ref.dtype)
+    else:
+        o = o_ref[:].reshape(E, D, PL).astype(jnp.float32)
+        s = s_ref[:][:, :, :1, :].reshape(E, 1, PL).astype(jnp.float32)
+        e_t = _exp_unnorm_t(lg)                    # f32 (E, M, L)
+        rs = 1.0 / _guard_den(s)                   # (E, 1, L) lane-major
         gf = g.astype(jnp.float32)
         gs = (gf * rs).astype(g.dtype)
-        dv = _bmm(gs, en, ((2,), (1,)))
-        dp = _bmm(g, v, ((1,), (1,)))
-        c = jnp.sum(gf * o, axis=1, keepdims=True)
-
-        t2d = jnp.concatenate([c, rs], axis=1).reshape(E * 2, PL)
-        tT = _lane_to_sublane(t2d, PL)  # (PL, 2E)
-        parts = []
-        for i in range(E):
-            cT = tT[:, 2 * i:2 * i + 1]
-            rT = tT[:, 2 * i + 1:2 * i + 2]
-            parts.append(((dp[i] - cT) * e[i] * rT)[None])
-        ds = jnp.concatenate(parts, axis=0)  # (E, PL, PL) f32
-    dsn = ds.astype(q.dtype)
-    dq_ref[:] = _bmm(k, dsn, ((2,), (2,))).reshape(G, Hp, D, PL).astype(dq_ref.dtype)
-    dk_ref[:] = _bmm(q, dsn, ((2,), (1,))).reshape(G, Hp, D, PL).astype(dk_ref.dtype)
+        dv = _bmm(gs, e_t.astype(v.dtype), ((2,), (2,)))
+        dp_t = _bmm(v, g, ((1,), (1,)))            # (E, M, L) f32
+        c = jnp.sum(gf * o, axis=1, keepdims=True)  # (E, 1, L)
+        ds = e_t * (dp_t - c) * rs                 # ds^T, lane broadcasts
+        dsn = ds.astype(q.dtype)
+        dq_ref[:] = _bmm(k, dsn, ((2,), (1,))).reshape(G, Hp, D, PL).astype(
+            dq_ref.dtype)
+        dk_ref[:] = _bmm(q, dsn, ((2,), (2,))).reshape(G, Hp, D, PL).astype(
+            dk_ref.dtype)
     dv_ref[:] = dv.reshape(G, Hp, D, PL).astype(dv_ref.dtype)
 
     @pl.when(b == 0)
     def _():
         dtoep_ref[:] = jnp.zeros_like(dtoep_ref[:])
 
-    # d toep = sum_b ds * mask-outer (the mask gates the bias's reach).
+    # d toep = sum_b ds * mask-outer (the mask gates the bias's reach);
+    # on the flash path this accumulates dtoep^T (mm is symmetric).
     dtoep_ref[:] += jnp.sum(ds.reshape(G, Hp, PL, PL) * mm, axis=0).astype(
         dtoep_ref.dtype
     )
@@ -940,11 +971,16 @@ def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, ot, s, W, L, Hp, Lp):
     """Raw rpos backward launch; returns grads in packed layouts plus the
     packed (Hp, Lp, Lp) f32 dtoep."""
     B, _, D, _ = qt.shape
+    flash = _flash_bwd_wanted()
+    if flash:
+        # Transposed-flash contract (see _bwd_rpos_kernel): Toeplitz goes
+        # in transposed; the accumulated dtoep^T comes back out.
+        toep_bd = toep_bd.transpose(0, 2, 1)
     G = _group_size(B, Hp, Lp)
     if G > 1:
         G //= 2
     kernel = functools.partial(_bwd_rpos_kernel, W, L)
-    return pl.pallas_call(
+    dq, dk, dv, dtoep = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[_elem_spec(G, Hp, D, Lp)] * 3
@@ -960,6 +996,9 @@ def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, ot, s, W, L, Hp, Lp):
         ),
         interpret=_INTERPRET,
     )(qt, kt, vt, toep_bd, off, gt, ot, s)
+    if flash:
+        dtoep = dtoep.transpose(0, 2, 1)
+    return dq, dk, dv, dtoep
 
 
 def _rpos_bwd(W, res, g):
