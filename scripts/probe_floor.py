@@ -52,6 +52,35 @@ def timed(fn, x):
     return (time.time() - t0) / ITERS / CHAIN * 1e6  # us per call
 
 
+def null_launch_us():
+    """Per-call cost of a minimal pallas_call (grid=(1,), one (8, 128)
+    VMEM copy): isolates the LAUNCH component of the compute-free floor.
+    The r3c per-call cost was ~1.2-1.5 ms at EVERY stage shape — if a
+    null launch costs the same, the floor is launch overhead and the fix
+    is fewer pallas_calls, not cheaper DMAs."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = x_ref[:]
+
+    x = jnp.ones((1, 8, 128), jnp.float32)
+
+    def one(v):
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec((8, 128), lambda: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, 128), lambda: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(v[0])
+        return out[None]
+
+    return timed(one, x)
+
+
 def main():
     ap_args = argparse.ArgumentParser()
     ap_args.add_argument("--batch", type=int, default=2048)
@@ -59,6 +88,8 @@ def main():
     B = args.batch
 
     import ecg_denoise_tpu.kernels.attention_pallas as ap
+
+    print(f"null pallas_call launch: {null_launch_us():.1f} us/call")
 
     print(f"{'stage':>9s} {'budget':>8s} {'G':>4s} {'steps':>6s} "
           f"{'dma us':>8s} {'full us':>8s}")
