@@ -6,9 +6,12 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Baseline: the reference publishes no throughput numbers (BASELINE.md), so the
 north-star comparison is the reference PyTorch model on CPU (BASELINE.json:
 ">=50x windows/sec/chip vs PyTorch-CPU"). The torch-CPU number below was
-measured in this image on 2026-08-16 (reference model/transformer.py ralenet,
-high_level_enhence=True, eval(), no_grad, batch 32, best of 5):
-107 windows/sec. Re-measure live with --measure-baseline.
+measured in this image on 2026-08-19 under quiet conditions (reference
+model/transformer.py ralenet, high_level_enhence=True, eval(), no_grad,
+batch 32, best of 5): 209.7 windows/sec (the container was rebuilt mid
+round 3 and got ~2x faster than the 2026-08-16 measurement of 107;
+results/round4/torch_baseline_r4_quiet.log). Re-measure live with
+--measure-baseline.
 
 Our measurement: jitted forward (inference path) of
 ecg_denoise_tpu.models.RaleNet('full') at batch BATCH on the default JAX
@@ -26,8 +29,8 @@ import argparse
 import json
 import time
 
-TORCH_CPU_BASELINE_WPS = 107.0  # reference ralenet fwd, CPU, batch 32 (see docstring)
-TORCH_CPU_TRAIN_BASELINE_WPS = 61.5  # reference ralenet Adam+MSE step, CPU, batch 32
+TORCH_CPU_BASELINE_WPS = 209.7  # reference ralenet fwd, CPU, batch 32 (see docstring)
+TORCH_CPU_TRAIN_BASELINE_WPS = 84.3  # reference ralenet Adam+MSE step, CPU, batch 32
 
 # Peak dense bf16 FLOP/s per chip, by jax device_kind substring (public
 # figures: v4 275, v5e 197, v5p 459, v6e 918 TFLOP/s; v2/v3 have no bf16

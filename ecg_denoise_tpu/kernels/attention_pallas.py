@@ -23,8 +23,12 @@ TPU-first design notes (see /opt/skills/guides/pallas_guide.md):
   rematerialisation): HBM residuals stay O(B*H*L*D), not O(B*H*L^2).
   Two further flash-style moves (round-3j) delete most of its VPU
   reduction work: the forward's FOLDED softmax sums ride along as an
-  O(B*H*L) residual (no sum tree, no divide — only the bit-deterministic
-  max tree is recomputed), and the softmax-jacobian row term uses the
+  O(B*H*L) residual (no sum tree, no divide — only the max tree is
+  recomputed; since the round-3f transposed refactor the recomputed
+  logits come from swapped-operand dots, so the recompute is exact up
+  to that ~1-ulp dot rounding, see _exp_unnorm_t — the saved folded
+  sums are consistent to rounding, not bitwise), and the
+  softmax-jacobian row term uses the
   delta identity c[l] = sum_d g[d,l]*o[d,l] against the saved forward
   output (no dp*p reduction tree). Round-3f on top: the whole flash
   branch is computed TRANSPOSED (logits^T = k·q, dp^T = v·g — swapped

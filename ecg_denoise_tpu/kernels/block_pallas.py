@@ -197,11 +197,23 @@ def _block_math(x, pe, bias_f, w, *, num_heads: int, mm_dtype):
             [logits[hd * G:(hd + 1) * G] + bias_f[hd:hd + 1] for hd in range(H)],
             axis=0,
         )
-    p = _softmax_f32(logits)
-    o = jax.lax.dot_general(
-        p.astype(mm_dtype), vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (H*G, L, D)
+    # Softmax with the round-3e sum/divide FOLD (ported from
+    # attention_pallas): exp once, then the pv contraction against v
+    # augmented with a ones channel emits the softmax normalizer as a free
+    # extra output channel (D=4 pads to 8 lanes regardless), deleting the
+    # (L, L)-wide sum tree and divide. f32 operands would need
+    # precision=HIGHEST on the folded pv (Mosaic DEFAULT f32 is a single
+    # bf16 pass -> correlated per-row scale error; probe_precision.py);
+    # this engine's pv runs in mm_dtype=bf16 where single-pass is native.
+    e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    vh_aug = jnp.concatenate(
+        [vh, jnp.ones(vh.shape[:2] + (1,), vh.dtype)], axis=-1)
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32 else None)
+    o_aug = jax.lax.dot_general(
+        e.astype(mm_dtype), vh_aug, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (H*G, L, D+1); last channel = sum_m e[l, m]
+    o = o_aug[:, :, :D] / o_aug[:, :, D:]
     attn = jnp.concatenate(
         [o[hd * G:(hd + 1) * G] for hd in range(H)], axis=-1
     )  # (G, L, C)

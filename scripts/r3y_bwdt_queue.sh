@@ -25,13 +25,19 @@ echo "=== 2: control2 (maxfree=0, bwdT) ==="
 ECG_ATTN_MAXFREE=0 timeout 7200 python -u cli/main.py --model_index 4 \
   --noise_type_index 3 --intensity_index 0 --epochs 100 --batch_size 32 \
   --use_pallas > runs/r3y_ab_control2.log 2>&1
+# Gate on step 2 actually finishing (ADVICE r3: without this, find_model
+# would silently pick up a STALE ralenet checkpoint at the same path) and
+# pin the exact checkpoint step 2 writes.
+grep -q "epoch 100/100" runs/r3y_ab_control2.log || {
+  echo "control2 train did not reach epoch 100; skipping evals"; exit 1; }
+CKPT=./model_save/ralenet/ralenet_99_emb_intensity-4.msgpack
 echo "=== 3: maxfree inference parity on the control2 checkpoint ==="
 ECG_ATTN_MAXFREE=0 timeout 3600 python -u scripts/eval_ckpt.py \
   --model_index 4 --noise_type_index 3 --intensity_index 0 --use_pallas \
-  > runs/r3y_eval_m0.log 2>&1
+  --ckpt "$CKPT" > runs/r3y_eval_m0.log 2>&1
 ECG_ATTN_MAXFREE=1 timeout 3600 python -u scripts/eval_ckpt.py \
   --model_index 4 --noise_type_index 3 --intensity_index 0 --use_pallas \
-  > runs/r3y_eval_m1.log 2>&1
+  --ckpt "$CKPT" > runs/r3y_eval_m1.log 2>&1
 echo "=== 4: train bench @256, bwdT ==="
 timeout 7200 python -u bench.py --train --batch 256 --use-pallas \
   > runs/r3y_bench_train256.log 2>&1
