@@ -176,17 +176,10 @@ def main() -> None:
                          "Default: on for inference, off for training "
                          "(the training CLI default is the XLA path the "
                          "parity experiment certified).")
-    ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
-                    default=False,
-                    help="fused whole-STAGE Pallas inference path "
-                         "(measured 40.5k w/s @2048 — beats plain XLA's "
-                         "35.0k, loses to --use-pallas's 82.9k)")
-    ap.add_argument("--packed", action="store_true",
-                    help="window-packed inference path: the whole forward "
-                         "in a (B/P, L, P*C) lane-packed layout so the "
-                         "tiny-C Dense/LN/merge glue runs on full 128-lane "
-                         "MXU tiles (models/ralenet_packed.py); attention "
-                         "uses the same fused kernels as --use-pallas")
+    # --fast / --packed / --fast-train were the whole-stage fused and
+    # window-packed engines — retired round 4 after losing their final
+    # A/Bs (40.1k / 77.1k vs the default 83.0k w/s; RESULTS.md "retired
+    # engines"). Git history (pre-1654be4) has the code.
     ap.add_argument("--chain", type=int, default=8,
                     help="forwards chained inside ONE jit call via "
                          "lax.fori_loop (output feeds the next input — "
@@ -204,37 +197,12 @@ def main() -> None:
                     help="with --train: per-window detected R-peak biases "
                          "(the paper's namesake feature; round 3 gave it a "
                          "fused-kernel fast path — ops/attention.py RPosBias)")
-    ap.add_argument("--fast-train", action="store_true",
-                    help="with --train: route the train step through the "
-                         "fused whole-stage Pallas layer kernels. MEASURED "
-                         "SLOWER than both the XLA path and --use-pallas "
-                         "(r3: fused 6.97k / residual 7.36k vs XLA 14.5k "
-                         "vs attn-kernel 16-22.8k w/s) — kept for the "
-                         "kernel-engineering record; see ARCHITECTURE.md")
-    ap.add_argument("--fast-train-strategy", default="fused",
-                    choices=["fused", "residual"],
-                    help="with --fast-train: 'fused' = round-2 single-call "
-                         "backward (in-kernel full-chain recompute, G=1-2); "
-                         "'residual' = per-block backward with block inputs "
-                         "saved in HBM (larger G, more launches)")
     args = ap.parse_args()
-    import sys
 
     if args.batch is None:
         args.batch = 32 if args.train else 2048
-    if args.fast and args.train:
-        print("warning: --fast is an INFERENCE knob and is ignored with "
-              "--train; the training knob is --fast-train", file=sys.stderr)
     if args.use_pallas is None:
-        args.use_pallas = not args.train and not args.fast
-    if args.use_pallas:
-        if args.fast:
-            print("warning: --use-pallas (attention kernel in the standard "
-                  "model) overrides --fast (whole-stage fused path); "
-                  "measuring the attention-kernel path", file=sys.stderr)
-        # The attention kernel runs through the standard model; the fused
-        # whole-stage path would shadow it.
-        args.fast = False
+        args.use_pallas = not args.train
 
     import jax
     import jax.numpy as jnp
@@ -262,10 +230,6 @@ def main() -> None:
         train_epoch, _ = make_epoch_fns(
             model, tx, donate=False,
             detect_r_pos=args.r_pos == "detect",
-            fast_variant="full" if args.fast_train else None,
-            fast_mm_dtype=dtype if (args.fast_train or args.packed) else None,
-            fast_strategy=args.fast_train_strategy,
-            packed_variant="full" if args.packed else None,
         )
         key = jax.random.PRNGKey(1)
         state, m = train_epoch(state, noisy, clean, key, bs)  # compile
@@ -287,9 +251,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "ralenet_full_train_throughput",
             **({"r_pos": args.r_pos} if args.r_pos else {}),
-            "path": ("window-packed" if args.packed
-                     else "pallas-fused" if args.fast_train
-                     else "attn-pallas" if args.use_pallas else "xla"),
+            "path": "attn-pallas" if args.use_pallas else "xla",
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
             "vs_baseline": round(wps / train_baseline, 2),
@@ -304,28 +266,10 @@ def main() -> None:
         jax.random.PRNGKey(0), x[:2]
     )
 
-    if args.packed:
-        from ecg_denoise_tpu.models.ralenet_packed import apply_packed
-
-        mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-
-        def fwd_body(batch):
-            return apply_packed(variables, batch, variant="full",
-                                mm_dtype=mm_dtype).astype(batch.dtype)
-    elif args.fast:
-        from ecg_denoise_tpu.models.ralenet_fast import apply_fast
-
-        mm_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-
-        def fwd_body(batch):
-            return apply_fast(variables, batch, variant="full",
-                              mm_dtype=mm_dtype)
-    else:
-
-        def fwd_body(batch):
-            # Cast keeps the chained fori_loop carry type stable (a bf16
-            # model returns bf16; the fused path already returns x.dtype).
-            return model.apply(variables, batch, train=False).astype(batch.dtype)
+    def fwd_body(batch):
+        # Cast keeps the chained fori_loop carry type stable (a bf16
+        # model returns bf16).
+        return model.apply(variables, batch, train=False).astype(batch.dtype)
 
     K = max(args.chain, 1)
     if K > 1:
@@ -360,9 +304,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ralenet_full_fwd_throughput",
-                "path": ("window-packed" if args.packed
-                         else "attn-pallas" if args.use_pallas
-                         else "pallas-fused" if args.fast else "xla"),
+                "path": "attn-pallas" if args.use_pallas else "xla",
                 "value": round(wps, 1),
                 "unit": "windows/sec/chip",
                 "vs_baseline": round(wps / baseline, 2),

@@ -62,20 +62,13 @@ def main():
 
         mesh = make_mesh(cfg.n_data, cfg.n_model)
 
-    # RaleNet-family-only knobs: fall back LOUDLY rather than crash
-    # (r_pos would reach a model whose __call__ has no r_pos parameter) or
-    # silently mislabel a run (fast_train on unet would train plain XLA).
-    _RALE = {"ralenet": "full", "ralenet_mlp": "mlp", "ralenet_nra": "nra"}
+    # RaleNet-family-only knob: fall back LOUDLY rather than crash
+    # (r_pos would reach a model whose __call__ has no r_pos parameter).
+    _RALE = {"ralenet", "ralenet_mlp", "ralenet_nra"}
     r_pos_mode = cfg.r_pos
     if r_pos_mode and cfg.model_name not in _RALE:
         print(f"--r_pos is RaleNet-family only; ignored for {cfg.model_name}")
         r_pos_mode = None
-    fast_variant = _RALE.get(cfg.model_name) if cfg.fast_train else None
-    if cfg.fast_train and fast_variant is None:
-        print(f"--fast_train is RaleNet-family only; ignored for {cfg.model_name}")
-    packed_variant = _RALE.get(cfg.model_name) if cfg.packed_train else None
-    if cfg.packed_train and packed_variant is None:
-        print(f"--packed_train is RaleNet-family only; ignored for {cfg.model_name}")
 
     from ecg_denoise_tpu.utils.run_log import train_log
 
@@ -87,8 +80,7 @@ def main():
         model_name=cfg.model_name, noise_name=cfg.noise_name,
         noise_intensity=cfg.noise_intensity, seed=cfg.seed,
         model_save_dir=cfg.model_save_dir, output_file=cfg.output_file,
-        mesh=mesh, r_pos_mode=r_pos_mode, fast_variant=fast_variant,
-        packed_variant=packed_variant,
+        mesh=mesh, r_pos_mode=r_pos_mode,
     )
 
 

@@ -44,19 +44,14 @@ def main():
     p.add_argument("--max_batch", type=int, default=1024)
     p.add_argument("--warmup_max", type=int, default=0,
                    help="pre-compile buckets up to this size (0 = lazy)")
-    p.add_argument("--fast", action="store_true",
-                   help="fused whole-stage Pallas inference path "
-                        "(RaleNet-family checkpoints; beats plain XLA at "
-                        "large batch but --use_pallas is faster still)")
-    p.add_argument("--packed", action="store_true",
-                   help="window-packed inference path (RaleNet-family "
-                        "checkpoints): the whole forward in a lane-packed "
-                        "layout, attention through the fused kernels; "
-                        "composes with --r_pos detect; buckets floor at 16")
+    # --fast / --packed (whole-stage fused and window-packed engines)
+    # were retired in round 4 after losing their final A/Bs to
+    # --use_pallas (40.1k / 77.1k vs 83.0k w/s; RESULTS.md "retired
+    # engines"). Git history pre-1654be4 has the code.
     p.add_argument("--use_pallas", action="store_true",
                    help="fused-attention kernel inside the XLA model — the "
-                        "measured-fastest serving path on TPU (82.9k w/s "
-                        "at batch 2048 vs 40.5k --fast / 35.0k plain)")
+                        "measured-fastest serving path on TPU (83.0k w/s "
+                        "at batch 2048 vs 35.0k plain XLA)")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="per-window R-peak-centred attention biases "
                         "(RaleNet-family checkpoints with the rel-pos "
@@ -80,44 +75,22 @@ def main():
 
     from ecg_denoise_tpu.serving import Denoiser
 
-    fast = None
-    if args.fast:
-        variant_by_model = {"ralenet": "full", "ralenet_mlp": "mlp",
-                            "ralenet_nra": "nra"}
-        fast = variant_by_model.get(args.model)
-        if fast is None:
-            print(f"--fast not available for {args.model}; using standard path")
     r_pos = args.r_pos
     if r_pos and args.model not in ("ralenet", "ralenet_mlp"):
         print(f"--r_pos needs a rel-pos-bias model; ignored for {args.model}")
         r_pos = None
-    if r_pos and fast:
-        print("--r_pos is not supported by the whole-stage --fast engine; "
-              "using the standard (or --use_pallas) path")
-        fast = None
-    packed = None
-    if args.packed:
-        variant_by_model = {"ralenet": "full", "ralenet_mlp": "mlp",
-                            "ralenet_nra": "nra"}
-        packed = variant_by_model.get(args.model)
-        if packed is None:
-            print(f"--packed not available for {args.model}; using standard path")
-        elif fast:
-            print("--packed overrides --fast")
-            fast = None
     mesh = None
     if args.n_data:
-        if fast or packed or args.use_pallas:
+        if args.use_pallas:
             sys.exit("--n_data mesh serving runs the XLA model; drop "
-                     "--fast/--packed/--use_pallas")
+                     "--use_pallas")
         from ecg_denoise_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)
     denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
-                                        max_batch=args.max_batch, fast=fast,
+                                        max_batch=args.max_batch,
                                         use_pallas=args.use_pallas,
-                                        r_pos=r_pos, mesh=mesh,
-                                        packed=packed)
+                                        r_pos=r_pos, mesh=mesh)
     if args.warmup_max:
         denoiser.warmup(limit=args.warmup_max)
     meta = {"model": args.model, "ckpt": args.ckpt,

@@ -35,8 +35,6 @@ class TrainConfig:
     split_file: str | None = None  # pin/export exact train/test indices
     r_pos: str | None = None  # 'detect' = R-peak-centred attention bias
     multihost: bool = False  # jax.distributed init + per-host data feeding
-    fast_train: bool = False  # fused Pallas layer kernels in the train step
-    packed_train: bool = False  # window-packed layout train/eval forwards
 
     @property
     def noise_name(self) -> str:
@@ -78,14 +76,9 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
                         "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID and feed "
                         "each host its strided data shard; no-op on a "
                         "single process (parallel/multihost.py)")
-    p.add_argument("--fast_train", action="store_true",
-                   help="train through the fused Pallas layer kernels "
-                        "(fwd + in-kernel-vjp bwd; RaleNet family only — "
-                        "kernels/block_pallas.fused_layer_diff)")
-    p.add_argument("--packed_train", action="store_true",
-                   help="train through the window-packed forward "
-                        "(models/ralenet_packed.py; RaleNet family only; "
-                        "composes with --r_pos detect)")
+    # --fast_train / --packed_train (whole-stage fused and window-packed
+    # training paths) were retired in round 4 after losing their final
+    # A/Bs — RESULTS.md "retired engines"; git pre-1654be4 has the code.
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="'detect': centre the R-wave attention bias on each "
                         "window's detected R peak (data/rpeaks.py) instead "

@@ -37,14 +37,17 @@ def _bucket(n: int, max_batch: int, floor: int = 1) -> int:
 class Denoiser:
     """A servable denoiser: numpy (N, C, L) in -> denoised numpy out.
 
-    fast='full'|'mlp'|'nra' routes RaleNet checkpoints through the fused
-    whole-block Pallas inference engine (models/ralenet_fast.py).
+    The fastest measured serving config is the standard model with
+    use_pallas=True (fused attention kernel, everything else XLA). The
+    round-2/3 whole-stage-fused (`fast=`) and window-packed (`packed=`)
+    engines lost their final A/Bs (40.1k / 77.1k vs 83.0k w/s) and were
+    retired in round 4 — RESULTS.md "retired engines"; git pre-1654be4
+    has the code.
     """
 
     def __init__(self, model, variables, max_batch: int = 1024,
-                 fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                 r_pos: Optional[str] = None, mesh=None,
-                 packed: Optional[str] = None):
+                 mm_dtype=jnp.bfloat16,
+                 r_pos: Optional[str] = None, mesh=None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -58,16 +61,15 @@ class Denoiser:
         # Data-parallel serving over a ('data','model') mesh: parameters
         # replicated, request batches sharded on 'data' — jit-SPMD runs
         # each shard on its own chip, gathers on fetch. Collectives ride
-        # ICI; no reference counterpart (single-GPU torch). The Pallas
-        # engines carry no SPMD partitioning rules, so mesh serving is the
+        # ICI; no reference counterpart (single-GPU torch). The attention
+        # kernel carries no SPMD partitioning rule, so mesh serving is the
         # XLA model only.
         self._bucket_floor = 1
         if mesh is not None:
-            if fast is not None or packed is not None or getattr(
-                    model, "use_pallas", False):
+            if getattr(model, "use_pallas", False):
                 raise ValueError(
                     "mesh serving runs the XLA model; build the Denoiser "
-                    "with use_pallas=False and fast=None")
+                    "with use_pallas=False")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_data = mesh.shape["data"]
@@ -88,57 +90,7 @@ class Denoiser:
             jit_kw = dict(in_shardings=(self._batch_sharding,),
                           out_shardings=self._batch_sharding)
 
-        if fast is not None and jax.default_backend() != "tpu":
-            # The fused-layer kernels are Mosaic (TPU) programs; fall back
-            # to the standard XLA path on other backends — loudly, so an
-            # operator passing --fast sees which path actually serves.
-            print(f"[serving] fast='{fast}' requested but backend is "
-                  f"'{jax.default_backend()}' — using the standard XLA path")
-            fast = None
-        if packed is not None and jax.default_backend() != "tpu":
-            print(f"[serving] packed='{packed}' requested but backend is "
-                  f"'{jax.default_backend()}' — using the standard XLA path")
-            packed = None
-        if packed is not None:
-            # Window-packed forward (models/ralenet_packed.py): buckets
-            # must be multiples of the stage-0 packing factor (16); the
-            # power-of-two bucket ladder satisfies that from floor 16.
-            from ecg_denoise_tpu.models.ralenet_packed import apply_packed
-
-            self._bucket_floor = max(self._bucket_floor, 16)
-            self.max_batch = max(self.max_batch, 16)
-            rp = "+rpos" if r_pos == "detect" else ""
-            self.inference_path = (
-                f"window-packed:{packed}{rp}:mm={jnp.dtype(mm_dtype).name}"
-            )
-            if r_pos == "detect":
-                from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
-
-                @partial(jax.jit, static_argnums=())
-                def fwd(batch):
-                    return apply_packed(variables, batch, variant=packed,
-                                        mm_dtype=mm_dtype,
-                                        r_pos=detect_r_peaks(batch))
-            else:
-
-                @partial(jax.jit, static_argnums=())
-                def fwd(batch):
-                    return apply_packed(variables, batch, variant=packed,
-                                        mm_dtype=mm_dtype)
-
-        elif fast is not None:
-            from ecg_denoise_tpu.models.ralenet_fast import apply_fast
-
-            self.inference_path = (
-                f"pallas-fused:{fast}:mm={jnp.dtype(mm_dtype).name}"
-            )
-
-            @partial(jax.jit, static_argnums=())
-            def fwd(batch):
-                return apply_fast(variables, batch, variant=fast,
-                                  mm_dtype=mm_dtype)
-
-        elif r_pos == "detect":
+        if r_pos == "detect":
             # Per-window R-peak-centred attention bias (the paper's
             # namesake feature, +0.16 dB trained quality — RESULTS.md).
             # Round 3 gave it a fused-kernel fast path (RPosBias
@@ -156,10 +108,10 @@ class Denoiser:
                                    r_pos=detect_r_peaks(batch))
 
         else:
-            # Measured fastest serving config on v5e (bench_explore, round
-            # 2): the model with use_pallas=True (fused-attention kernel,
-            # everything else XLA) at large batch — 82.9k windows/s vs
-            # 40.5k whole-stage-fused and 35.0k plain XLA at batch 2048.
+            # Measured fastest serving config on v5e: the model with
+            # use_pallas=True (fused-attention kernel, everything else
+            # XLA) at large batch — 83.0k windows/s vs 35.0k plain XLA
+            # at batch 2048 (RESULTS.md).
             attn = "+attn-pallas" if getattr(model, "use_pallas", False) else ""
             dp = f"+dp{mesh.shape['data']}" if mesh is not None else ""
             self.inference_path = f"xla{attn}{dp}:{jax.default_backend()}"
@@ -174,12 +126,11 @@ class Denoiser:
     def from_checkpoint(cls, name_or_index, ckpt_path: str,
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
-                        fast: Optional[str] = None, mm_dtype=jnp.bfloat16,
-                        r_pos: Optional[str] = None, mesh=None,
-                        packed: Optional[str] = None):
+                        mm_dtype=jnp.bfloat16,
+                        r_pos: Optional[str] = None, mesh=None):
         if use_pallas and jax.default_backend() != "tpu":
-            # Same loud fallback as fast=: the attention kernel is a
-            # Mosaic (TPU) program.
+            # Loud fallback: the attention kernel is a Mosaic (TPU)
+            # program.
             print(f"[serving] use_pallas requested but backend is "
                   f"'{jax.default_backend()}' — using the standard XLA path")
             use_pallas = False
@@ -190,8 +141,8 @@ class Denoiser:
         )
         state = load_checkpoint(ckpt_path, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return cls(model, variables, max_batch, fast=fast, mm_dtype=mm_dtype,
-                   r_pos=r_pos, mesh=mesh, packed=packed)
+        return cls(model, variables, max_batch, mm_dtype=mm_dtype,
+                   r_pos=r_pos, mesh=mesh)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.denoise_timed(x)[0]

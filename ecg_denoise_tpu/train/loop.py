@@ -51,8 +51,6 @@ def fit(
     log_every: int = 1,
     verbose: bool = True,
     r_pos_mode: Optional[str] = None,
-    fast_variant: Optional[str] = None,
-    packed_variant: Optional[str] = None,
 ):
     # On a multi-host mesh every process runs fit() in lockstep; only
     # process 0 may touch shared storage (checkpoints, output.txt) or
@@ -77,20 +75,6 @@ def fit(
     if resume_path:
         state = load_checkpoint(resume_path, state)
 
-    if mesh is not None and fast_variant:
-        # The fused-layer pallas_calls have no SPMD partitioning rule; a
-        # sharded batch would either be rejected by the partitioner or
-        # silently replicated, defeating the mesh. Fail fast instead.
-        raise ValueError("fast_variant (fused Pallas training) cannot be "
-                         "combined with a mesh; drop --fast_train or the "
-                         "--n_data/--n_model flags")
-    if mesh is not None and packed_variant and \
-            int(mesh.shape.get("model", 1)) > 1:
-        # The packed trainer scales DATA-parallel (shard_map + sync-BN,
-        # train/steps.py); its block-diagonal weights do not compose with
-        # the Megatron col/row TP shardings.
-        raise ValueError("packed_variant supports data-parallel meshes "
-                         "only; use --n_model 1 with --packed_train")
     if mesh is not None:
         from ecg_denoise_tpu.parallel.mesh import (
             replicate_state,
@@ -116,8 +100,6 @@ def fit(
 
     train_epoch, eval_epoch = make_epoch_fns(
         model, tx, detect_r_pos=(r_pos_mode == "detect"),
-        fast_variant=fast_variant, packed_variant=packed_variant,
-        packed_mesh=mesh if packed_variant else None,
     )
 
     train_snr_list, test_snr_list = [], []

@@ -26,12 +26,7 @@ from ecg_denoise_tpu.train.state import TrainState
 
 
 def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
-                   detect_r_pos: bool = False,
-                   fast_variant: Optional[str] = None,
-                   fast_mm_dtype=None,
-                   fast_strategy: str = "fused",
-                   packed_variant: Optional[str] = None,
-                   packed_mesh=None):
+                   detect_r_pos: bool = False):
     """Build (train_epoch, eval_epoch) jitted functions for `model`.
 
     train_epoch(state, noisy, clean, key) -> (state, metrics dict)
@@ -47,17 +42,10 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     namesake mechanism, driven; the reference only ever uses the fixed
     centre (its R_pos hook is never supplied by any entry script).
 
-    fast_variant ('full'/'mlp'/'nra'): route both train and eval forwards
-    through the fused Pallas layer kernels (models/ralenet_fast.py;
-    training via fused_layer_diff's in-kernel-vjp backward). The state tree
-    is unchanged — checkpoints are interchangeable with the XLA path.
+    (The round-2/3 fast_variant / packed_variant alternate-forward
+    routings were retired in round 4 after losing their final on-chip
+    A/Bs — RESULTS.md "retired engines"; git pre-1654be4 has the code.)
     """
-    if detect_r_pos and fast_variant:
-        raise ValueError("per-window r_pos needs the XLA attention path; "
-                         "use detect_r_pos OR fast_variant, not both")
-    if fast_variant and packed_variant:
-        raise ValueError("fast_variant and packed_variant are exclusive "
-                         "forward routings")
     if detect_r_pos:
         from ecg_denoise_tpu.data.rpeaks import detect_r_peaks
 
@@ -65,58 +53,18 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
     else:
         r_kw = lambda x: {}
 
-    if packed_variant:
-        # Window-packed forward (models/ralenet_packed.py): the whole
-        # transformer stack in the (B/P, L, P*C) lane-packed layout,
-        # attention through the same fused kernels. Supports per-window
-        # r_pos (the rpos kernel takes per-window offsets natively).
-        import jax.numpy as _jnp
-
-        from ecg_denoise_tpu.models.ralenet_packed import (
-            apply_packed,
-            apply_packed_train,
+    def apply_train(params, batch_stats, x):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            **r_kw(x),
         )
+        return out, mut["batch_stats"]
 
-        mm = fast_mm_dtype or _jnp.float32
-
-        def apply_train(params, batch_stats, x):
-            return apply_packed_train(
-                {"params": params, "batch_stats": batch_stats}, x,
-                variant=packed_variant, mm_dtype=mm, **r_kw(x),
-            )
-
-        def apply_eval(variables, x):
-            return apply_packed(variables, x, variant=packed_variant,
-                                mm_dtype=mm, **r_kw(x))
-    elif fast_variant:
-        import jax.numpy as _jnp
-
-        from ecg_denoise_tpu.models.ralenet_fast import apply_fast, apply_fast_train
-
-        mm = fast_mm_dtype or _jnp.float32
-
-        def apply_train(params, batch_stats, x):
-            return apply_fast_train(
-                {"params": params, "batch_stats": batch_stats}, x,
-                variant=fast_variant, mm_dtype=mm, strategy=fast_strategy,
-            )
-
-        def apply_eval(variables, x):
-            return apply_fast(variables, x, variant=fast_variant, mm_dtype=mm)
-    else:
-
-        def apply_train(params, batch_stats, x):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x,
-                train=True,
-                mutable=["batch_stats"],
-                **r_kw(x),
-            )
-            return out, mut["batch_stats"]
-
-        def apply_eval(variables, x):
-            return model.apply(variables, x, train=False, **r_kw(x))
+    def apply_eval(variables, x):
+        return model.apply(variables, x, train=False, **r_kw(x))
 
     def loss_fn(params, batch_stats, data, target):
         pred, new_stats = apply_train(params, batch_stats, data)
@@ -131,54 +79,6 @@ def make_epoch_fns(model, tx: optax.GradientTransformation, donate: bool = True,
                                                    data, target)
         return (loss, grads, new_stats,
                 jnp.mean(SNR(target, pred)), jnp.mean(RMSE(target, pred)))
-
-    if packed_variant and packed_mesh is not None:
-        # Data-parallel training for the Pallas-engine forward: the
-        # pallas_calls carry no SPMD partitioning rules, so instead of
-        # jit's sharding propagation the step runs under shard_map — each
-        # device gets its local (bs/n_data) batch, the stem BatchNorm
-        # computes GLOBAL statistics (bn_axis sync-BN), and loss/grads/
-        # metrics are pmean'd, so the DP step reproduces the single-device
-        # step (the same contract tests/test_mesh.py pins for the XLA
-        # path). Per-device batch must stay divisible by 16 (the stage-0
-        # packing factor).
-        from jax.sharding import PartitionSpec as _P
-
-        def _local_loss(params, batch_stats, data, target):
-            pred, new_stats = apply_packed_train(
-                {"params": params, "batch_stats": batch_stats}, data,
-                variant=packed_variant, mm_dtype=mm, bn_axis="data",
-                **r_kw(data))
-            loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
-            return loss, (pred, new_stats)
-
-        def _local_step(params, batch_stats, data, target):
-            (loss, (pred, new_stats)), grads = jax.value_and_grad(
-                _local_loss, has_aux=True)(params, batch_stats, data, target)
-            # new_stats already global (sync-BN); reduce the rest.
-            return (jax.lax.pmean(loss, "data"),
-                    jax.lax.pmean(grads, "data"),
-                    new_stats,
-                    jax.lax.pmean(jnp.mean(SNR(target, pred)), "data"),
-                    jax.lax.pmean(jnp.mean(RMSE(target, pred)), "data"))
-
-        # check_vma=False: pallas_call's out_shapes carry no varying-axes
-        # annotation, so the vma checker rejects any kernel launch inside
-        # the map; replication of the P() outputs is guaranteed by the
-        # pmeans (and pinned by the DP==single-device parity test).
-        _step_core = jax.shard_map(
-            _local_step, mesh=packed_mesh,
-            in_specs=(_P(), _P(), _P("data"), _P("data")),
-            out_specs=(_P(), _P(), _P(), _P(), _P()), check_vma=False)
-
-        _eval_local = apply_eval
-
-        def apply_eval(variables, x):  # noqa: F811 — mesh-wrapped eval
-            return jax.shard_map(
-                _eval_local, mesh=packed_mesh,
-                in_specs=(_P(), _P("data")), out_specs=_P("data"),
-                check_vma=False,
-            )(variables, x)
 
     def train_step(state: TrainState, batch):
         data, target = batch

@@ -84,82 +84,6 @@ def test_fused_attention_fwd_bwd_on_chip():
         assert float(np.mean(np.abs(a - b))) < 3e-3, name
 
 
-def test_fused_layer_fwd_on_chip():
-    """block_pallas.fused_layer (whole-stage forward) vs the flax
-    BasicLayer, Mosaic-compiled."""
-    from ecg_denoise_tpu.ops.attention import BasicLayer, sinusoidal_pe_table
-    import ecg_denoise_tpu.kernels.block_pallas as bp
-
-    L, C, H = 32, 8, 2
-    layer = BasicLayer(dim=C, depth=2, num_heads=H, local_enhence=True)
-    x = jax.random.normal(jax.random.PRNGKey(1), (8, L, C), jnp.float32)
-    bias = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, H, L, L))
-    params = layer.init(jax.random.PRNGKey(0), x, bias)["params"]
-    pe = sinusoidal_pe_table(1000, C)[0, :L, :]
-    blocks = [params["blocks_0"], params["blocks_1"]]
-
-    ref = jax.jit(lambda p, x: layer.apply({"params": p}, x, bias))(params, x)
-    got = jax.jit(lambda x: bp.fused_layer(
-        x, pe, bias, blocks, num_heads=H, local_enhence=True,
-        mm_dtype=jnp.float32))(x)
-    # On TPU, BOTH paths' f32 matmuls run bf16 MXU multiplies under jax's
-    # default precision; they differ only in fusion/accumulation order, so
-    # the on-chip gate is bf16-epsilon-scale (measured max |diff| 4e-3 on
-    # O(1) activations), not the interpret-mode 2e-4.
-    got, ref = np.asarray(got), np.asarray(ref)
-    np.testing.assert_allclose(got, ref, atol=1e-2, rtol=5e-2)
-    assert float(np.mean((got - ref) ** 2)) < 1e-5
-
-
-def test_fused_layer_diff_bwd_on_chip():
-    """block_pallas.fused_layer_diff backward (in-kernel jax.vjp, grads
-    accumulated across the sequential grid) vs XLA autodiff of the flax
-    layer — every block weight, dx and dbias, Mosaic-compiled."""
-    from ecg_denoise_tpu.ops.attention import BasicLayer, sinusoidal_pe_table
-    import ecg_denoise_tpu.kernels.block_pallas as bp
-
-    L, C, H = 32, 8, 2
-    layer = BasicLayer(dim=C, depth=2, num_heads=H, local_enhence=True)
-    x = jax.random.normal(jax.random.PRNGKey(1), (8, L, C), jnp.float32)
-    bias = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, H, L, L))
-    params = layer.init(jax.random.PRNGKey(0), x, bias)["params"]
-    pe = sinusoidal_pe_table(1000, C)[0, :L, :]
-    b3 = bias.reshape(H, L, L)
-    cot = jax.random.normal(jax.random.PRNGKey(3), x.shape, jnp.float32)
-
-    def loss_ref(params, x, bias):
-        return jnp.sum(layer.apply({"params": params}, x, bias) * cot)
-
-    def loss_pl(params, x, b3):
-        blocks = [params["blocks_0"], params["blocks_1"]]
-        y = bp.fused_layer_diff(x, pe, b3, blocks, num_heads=H,
-                                local_enhence=True, mm_dtype=jnp.float32,
-                                backend="pallas")
-        return jnp.sum(y * cot)
-
-    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(params, x, bias)
-    g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2)))(params, x, b3)
-
-    # bf16-MXU-scale gate, per-leaf relative Frobenius error: elementwise
-    # atol is brittle when one leaf's gradients span O(0.05)..O(8) (a lone
-    # near-zero element trips any atol that is meaningful for the rest).
-    def check(got, ref, name):
-        got, ref = np.asarray(got, np.float64), np.asarray(ref, np.float64)
-        # Measured bf16-MXU recompute noise across a 2-block chain peaks at
-        # ~4e-3 relative (both sides run bf16 multiplies under default
-        # precision); a genuinely wrong gradient is O(1) relative.
-        rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12)
-        assert rel < 1e-2, f"{name}: relative grad error {rel:.2e}"
-
-    ref_leaves = {jax.tree_util.keystr(k): v for k, v in
-                  jax.tree_util.tree_leaves_with_path(g_ref[0])}
-    for k, got in jax.tree_util.tree_leaves_with_path(g_pl[0]):
-        check(got, ref_leaves[jax.tree_util.keystr(k)], jax.tree_util.keystr(k))
-    check(g_pl[1], g_ref[1], "dx")
-    check(np.asarray(g_pl[2]).reshape(-1), np.asarray(g_ref[2]).reshape(-1),
-          "dbias")
-
-
 # --- production-shape tier (VERDICT r2 weak item 5) -------------------------
 #
 # The tests above pin Mosaic lowering at toy shapes; the benches and
@@ -232,25 +156,6 @@ def test_fused_attention_rpos_on_chip():
             assert relerr < 1e-2, f"L={L}: {name} rel err {relerr:.2e}"
 
 
-def test_apply_fast_production_shape_on_chip():
-    """Whole-stage fused inference engine vs RaleNet.apply at the full
-    model production shape (batch 256, 2x256 windows), bf16 matmuls."""
-    from ecg_denoise_tpu.models import RaleNet
-    from ecg_denoise_tpu.models.ralenet_fast import apply_fast
-
-    model = RaleNet(variant="full")
-    x = jax.random.normal(jax.random.PRNGKey(0), (256, 2, 256), jnp.float32)
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:2],
-                                           train=False))()
-    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
-    got = jax.jit(lambda v, x: apply_fast(v, x, variant="full",
-                                          mm_dtype=jnp.bfloat16))(variables, x)
-    got, ref = np.asarray(got), np.asarray(ref)
-    # bf16 matmuls vs f32-param XLA: bf16-epsilon-scale gate on O(1) signals.
-    assert float(np.mean((got - ref) ** 2)) < 1e-4
-    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
-
-
 def test_use_pallas_train_step_on_chip():
     """One jitted train step through the attention-kernel custom-VJP at
     batch 256 — the measured-fastest trainer's exact path."""
@@ -275,43 +180,10 @@ def test_use_pallas_train_step_on_chip():
 
 
 
-def test_apply_packed_production_shape_on_chip():
-    """Window-packed forward vs RaleNet.apply at the production shape
-    (batch 256), both matmul dtypes: f32 tight (the packed Dense forms are
-    bitwise-identical; LN/attention differ only in summation order and the
-    kernel's DEFAULT-qk bf16 input rounding), bf16 at the bf16-noise gate."""
-    from ecg_denoise_tpu.models import RaleNet
-    from ecg_denoise_tpu.models.ralenet_packed import apply_packed
-
-    model = RaleNet(variant="full")
-    x = jax.random.normal(jax.random.PRNGKey(2), (256, 2, 256), jnp.float32)
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:2],
-                                           train=False))()
-    ref = np.asarray(
-        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x))
-    got32 = np.asarray(jax.jit(
-        lambda v, x: apply_packed(v, x, variant="full",
-                                  mm_dtype=jnp.float32))(variables, x))
-    # f32 packed vs f32 XLA: the attention kernel's DEFAULT-precision qk
-    # rounds f32 inputs to bf16 (probe_precision.log), so the gate is the
-    # elementwise-bf16-noise scale, not 1e-5. That noise is random-signed
-    # with heavy tails: the first chip run (runs/r3k_tpu_kernel_tests.log)
-    # had 8/131072 elements at up to 7.6e-3 — gate the tail at 2e-2 and
-    # pin the bulk with a mean-abs-error bound instead.
-    np.testing.assert_allclose(got32, ref, atol=2e-2, rtol=2e-2)
-    # first chip run measured mean |err| 9.7e-4 — exactly the bf16
-    # input-rounding scale on O(0.5) values (runs/r3l_tpu_kernel_tests.log)
-    assert float(np.mean(np.abs(got32 - ref))) < 2e-3
-    got16 = np.asarray(jax.jit(
-        lambda v, x: apply_packed(v, x, variant="full",
-                                  mm_dtype=jnp.bfloat16))(variables, x))
-    assert float(np.mean((got16 - ref) ** 2)) < 1e-4
-    np.testing.assert_allclose(got16, ref, atol=0.05, rtol=0.05)
-
-
-def test_packed_train_step_on_chip():
-    """One jitted window-packed train epoch (fwd + flash-VJP backward +
-    Adam) with detected per-window R peaks at batch 256."""
+def test_rpos_train_step_on_chip():
+    """One jitted train epoch (fwd + flash-VJP backward + Adam) through
+    the rpos attention kernel with detected per-window R peaks at batch
+    256 — the --r_pos detect trainer's exact path."""
     from ecg_denoise_tpu.models import RaleNet
     from ecg_denoise_tpu.train.state import create_train_state
     from ecg_denoise_tpu.train.steps import make_epoch_fns
@@ -323,7 +195,7 @@ def test_packed_train_step_on_chip():
     clean = noisy * 0.5
     state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
     train_epoch, eval_epoch = make_epoch_fns(
-        model, tx, donate=False, detect_r_pos=True, packed_variant="full")
+        model, tx, donate=False, detect_r_pos=True)
     state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(1), bs)
     m = jax.device_get(m)
     assert np.isfinite(m["loss"]) and np.isfinite(m["snr"])
