@@ -87,7 +87,11 @@ def main():
         from ecg_denoise_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)
+    # newrale serves 12-lead windows (reference Transfer_learning.py);
+    # everything else is the 2-lead window contract.
+    sample_shape = (2, 12, 256) if args.model == "newrale" else (2, 2, 256)
     denoiser = Denoiser.from_checkpoint(args.model, args.ckpt,
+                                        sample_shape=sample_shape,
                                         max_batch=args.max_batch,
                                         use_pallas=args.use_pallas,
                                         r_pos=r_pos, mesh=mesh)

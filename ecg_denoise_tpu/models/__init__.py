@@ -40,7 +40,13 @@ def build_model(name_or_index, *, use_pallas: bool = False, dtype=None):
         return RaleNet(variant="full", use_pallas=use_pallas, dtype=dtype)
     if name == "ACDAE":
         return ACDAE(dtype=dtype)
-    raise ValueError(f"unknown model {name!r}; choose from {MODEL_NAMES}")
+    if name == "newrale":
+        # 12-lead transfer wrapper (reference model/ralenet_12leads.py:680-709);
+        # not in the reference's index dispatch (its Transfer_learning.py
+        # builds it directly), named here so serving can load its checkpoints.
+        return NewRale(use_pallas=use_pallas, dtype=dtype)
+    raise ValueError(f"unknown model {name!r}; choose from "
+                     f"{MODEL_NAMES + ['newrale']}")
 
 
 __all__ = [

@@ -201,3 +201,27 @@ def test_rpos_train_step_on_chip():
     assert np.isfinite(m["loss"]) and np.isfinite(m["snr"])
     ev = jax.device_get(eval_epoch(state, noisy, clean, bs))
     assert np.isfinite(ev["snr"])
+
+
+def test_newrale_12lead_forward_on_chip():
+    """12-lead NewRale (reference model/ralenet_12leads.py:680-709) with
+    the attention kernels in its core, Mosaic-compiled at a 12-lead batch
+    — vs the XLA NewRale oracle. Pins the kernel header's claim that the
+    12-lead variant's shapes lower and fit in VMEM (the adapters change
+    only the stem convs; the core runs the same L=256..16 stages)."""
+    from ecg_denoise_tpu.models import NewRale
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (64, 12, 256), jnp.float32)
+    kernel_model = NewRale(use_pallas=True)
+    xla_model = NewRale(use_pallas=False)
+    variables = jax.jit(lambda: kernel_model.init(
+        jax.random.PRNGKey(0), x[:2], train=False))()
+    got = np.asarray(jax.jit(
+        lambda v, x: kernel_model.apply(v, x, train=False))(variables, x))
+    ref = np.asarray(jax.jit(
+        lambda v, x: xla_model.apply(v, x, train=False))(variables, x))
+    # Same bf16-input-rounding noise budget as the 2-lead production-shape
+    # test: DEFAULT-precision qk in the kernel vs XLA's DEFAULT matmuls —
+    # elementwise bf16 noise with heavy tails; bulk pinned by mean |err|.
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+    assert float(np.mean(np.abs(got - ref))) < 2e-3
