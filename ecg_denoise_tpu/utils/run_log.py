@@ -6,12 +6,21 @@ package also ships `Logger`/`easymail`, imported unused at main.py:14).
 This version records, per run: timestamp, function, kwargs of record
 (model/noise/epochs), wall time, and outcome — appended as one JSON line to
 `train_log.jsonl` so sweeps remain greppable.
+
+Notification (the `easymail` equivalent): if ECG_NOTIFY_CMD is set, the
+finished record is piped to that shell command's stdin after every run
+(success or failure). An SMTP notifier would be dead code in a zero-egress
+training environment; a command hook composes with whatever transport the
+operator has (mailx, a queue writer, a local webhook relay). Failures of
+the hook never fail the run.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import os
+import subprocess
 import time
 from datetime import datetime
 from typing import Callable
@@ -40,12 +49,27 @@ def train_log(log_file: str = "./train_log.jsonl") -> Callable:
                 raise
             finally:
                 rec["wall_s"] = round(time.time() - t0, 2)
+                line = json.dumps(rec)
                 try:
                     with open(log_file, "a") as f:
-                        f.write(json.dumps(rec) + "\n")
+                        f.write(line + "\n")
                 except OSError:
                     pass
+                _notify(line)
 
         return wrapper
 
     return deco
+
+
+def _notify(line: str) -> None:
+    """Pipe the run record to ECG_NOTIFY_CMD, if configured (best-effort)."""
+    cmd = os.environ.get("ECG_NOTIFY_CMD")
+    if not cmd:
+        return
+    try:
+        subprocess.run(cmd, shell=True, input=line.encode(),
+                       timeout=30, check=False,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (OSError, subprocess.SubprocessError):
+        pass

@@ -76,6 +76,26 @@ def test_train_log_records(tmp_path):
     assert rec["kwargs"] == {"x": 2, "tag": "hello"}
 
 
+def test_train_log_notify_hook(tmp_path, monkeypatch):
+    """ECG_NOTIFY_CMD gets the finished run record on stdin (the
+    reference's easymail equivalent, reference main.py:14); a broken hook
+    must not fail the run."""
+    log = str(tmp_path / "log.jsonl")
+    sink = tmp_path / "notified.json"
+    monkeypatch.setenv("ECG_NOTIFY_CMD", f"cat > {sink}")
+
+    @train_log(log)
+    def work(x=1):
+        return x
+
+    assert work(x=5) == 5
+    rec = json.loads(sink.read_text())
+    assert rec["fn"] == "work" and rec["kwargs"] == {"x": 5}
+
+    monkeypatch.setenv("ECG_NOTIFY_CMD", "/nonexistent-notifier-binary")
+    assert work(x=6) == 6  # hook failure is swallowed
+
+
 def test_step_timer_discards_warmup():
     t = StepTimer(warmup=1)
     for i in range(3):
