@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ecg_denoise_tpu.models import build_model
 from ecg_denoise_tpu.train.state import create_train_state
-from ecg_denoise_tpu.train.checkpoint import load_checkpoint
+from ecg_denoise_tpu.train.checkpoint import load_variables
 
 
 def _bucket(n: int, max_batch: int, floor: int = 1) -> int:
@@ -139,8 +139,12 @@ class Denoiser:
         state, _ = create_train_state(
             model, jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
         )
-        state = load_checkpoint(ckpt_path, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # load_variables (not load_checkpoint): serving never touches the
+        # optimizer, and a frozen-mask training run (transfer learning)
+        # writes a multi_transform opt_state a plain template can't match.
+        variables = load_variables(
+            ckpt_path,
+            {"params": state.params, "batch_stats": state.batch_stats})
         return cls(model, variables, max_batch, mm_dtype=mm_dtype,
                    r_pos=r_pos, mesh=mesh)
 

@@ -57,6 +57,28 @@ def load_params(path: str, target_state: Any):
     return state.params, state.batch_stats
 
 
+def load_variables(path: str, variables_template: dict) -> dict:
+    """Restore inference variables {'params', 'batch_stats'} WITHOUT a
+    full TrainState template.
+
+    A full-state restore needs the reader's opt_state tree to match the
+    writer's — which differs whenever the training run used a frozen-
+    parameter mask (optax.multi_transform wraps the opt_state; the
+    transfer-learning checkpoints hit this). Serving only consumes
+    params/batch_stats, so restore the raw msgpack dict and re-type just
+    those subtrees against the template."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    out = {}
+    for key in variables_template:
+        if key not in raw:
+            raise ValueError(f"checkpoint {path} has no '{key}' "
+                             f"(keys: {sorted(raw)})")
+        out[key] = serialization.from_state_dict(variables_template[key],
+                                                 raw[key], name=key)
+    return jax.tree.map(jnp.asarray, out)
+
+
 def find_model(model_path: str, model_name: Optional[str] = None, epoch: Optional[int] = None) -> Optional[str]:
     """Find a checkpoint file by name/epoch, else the latest epoch."""
     pats = os.path.join(model_path, "*.msgpack")

@@ -175,3 +175,28 @@ def test_streaming_real_model_and_api(tmp_path):
         s.push(sig[:, :10])
     with _pytest.raises(ValueError, match="stride"):
         d.streaming(stride=0)
+
+
+def test_denoiser_loads_frozen_mask_checkpoint(tmp_path):
+    """Transfer-learning checkpoints carry a multi_transform (frozen-mask)
+    opt_state that a plain TrainState template cannot restore; serving
+    must load params/batch_stats regardless (round-4 12-lead serve bug)."""
+    from ecg_denoise_tpu.models import NewRale
+    from ecg_denoise_tpu.models.ralenet_12leads import frozen_param_mask
+
+    model = NewRale()
+    sample = jnp.zeros((2, 12, 256), jnp.float32)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), sample,
+        frozen_mask=None)
+    mask = frozen_param_mask(state.params)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), sample, frozen_mask=mask)
+    ckpt = str(tmp_path / "newrale.msgpack")
+    save_checkpoint(ckpt, state)
+    d = Denoiser.from_checkpoint("newrale", ckpt, sample_shape=(2, 12, 256),
+                                 max_batch=16)
+    x = np.random.default_rng(1).standard_normal((3, 12, 256)).astype(
+        np.float32)
+    y = d(x)
+    assert y.shape == (3, 12, 256) and np.isfinite(y).all()
