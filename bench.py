@@ -20,7 +20,7 @@ ITERS iterations after warmup. Timing hard-syncs with a host device_get
 (block_until_ready is not a reliable fence through this image's remote-TPU
 tunnel) and chains --chain forwards inside one jit call so per-call tunnel
 transfers don't masquerade as chip time. Default path: the fused-attention
-Pallas kernel at batch 2048 (measured fastest; see --use-pallas/--fast).
+Pallas kernel at batch 2048 (measured fastest; see --use-pallas).
 """
 
 from __future__ import annotations
@@ -171,8 +171,8 @@ def main() -> None:
                     default=None,
                     help="fused-attention Pallas kernel inside the XLA "
                          "model — the measured-fastest path BOTH ways "
-                         "(fwd 82.9k w/s @2048 vs 35.0k plain XLA; train "
-                         "16.0k @32 / 25.0k @256 vs 14.5k/16.6k XLA). "
+                         "(fwd 83.0k w/s @2048 vs 35.0k plain XLA; train "
+                         "16.0k @32 / 23.6k @256 vs 14.5k/16.6k XLA). "
                          "Default: on for inference, off for training "
                          "(the training CLI default is the XLA path the "
                          "parity experiment certified).")

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Minimal HTTP denoising service (stdlib-only).
 
-POST /denoise with a raw .npy payload of shape (N, 2, 256) float32 returns
-the denoised .npy. GET /healthz returns model metadata. Batches are bucketed
-to pre-compiled power-of-two sizes (see ecg_denoise_tpu.serving.Denoiser),
-so arbitrary request sizes never recompile.
+POST /denoise with a raw .npy payload of shape (N, C, 256) float32 returns
+the denoised .npy — C is the served model's channel count (2 for every
+denoiser family; 12 for `--model newrale`, the transfer-learning wrapper).
+GET /healthz returns model metadata. Batches are bucketed to pre-compiled
+power-of-two sizes (see ecg_denoise_tpu.serving.Denoiser), so arbitrary
+request sizes never recompile.
 
 Example:
     python cli/serve.py --model ralenet \

@@ -46,11 +46,14 @@ class Denoiser:
     """
 
     def __init__(self, model, variables, max_batch: int = 1024,
-                 mm_dtype=jnp.bfloat16,
-                 r_pos: Optional[str] = None, mesh=None):
+                 r_pos: Optional[str] = None, mesh=None,
+                 channels: int = 2):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
+        # Window channel count (12 for newrale) — warmup must compile
+        # buckets at the served shape, not the 2-lead default.
+        self.channels = channels
         import threading
 
         self._staging = {}  # per-bucket persistent padding buffers
@@ -126,7 +129,6 @@ class Denoiser:
     def from_checkpoint(cls, name_or_index, ckpt_path: str,
                         sample_shape=(2, 2, 256), max_batch: int = 1024,
                         use_pallas: bool = False, dtype=None,
-                        mm_dtype=jnp.bfloat16,
                         r_pos: Optional[str] = None, mesh=None):
         if use_pallas and jax.default_backend() != "tpu":
             # Loud fallback: the attention kernel is a Mosaic (TPU)
@@ -145,8 +147,8 @@ class Denoiser:
         variables = load_variables(
             ckpt_path,
             {"params": state.params, "batch_stats": state.batch_stats})
-        return cls(model, variables, max_batch, mm_dtype=mm_dtype,
-                   r_pos=r_pos, mesh=mesh)
+        return cls(model, variables, max_batch,
+                   r_pos=r_pos, mesh=mesh, channels=sample_shape[1])
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         return self.denoise_timed(x)[0]
@@ -253,13 +255,15 @@ class Denoiser:
         """A stateful online denoiser over this Denoiser (live monitors)."""
         return StreamingDenoiser(self, stride=stride, length=length)
 
-    def warmup(self, channels: int = 2, length: int = 256,
+    def warmup(self, channels: Optional[int] = None, length: int = 256,
                limit: Optional[int] = None) -> None:
         """Pre-compile batch buckets up to `limit` (default: max_batch).
 
         The limit is rounded UP to the next bucket, so a request of exactly
-        `limit` windows never hits a cold compile.
+        `limit` windows never hits a cold compile. `channels` defaults to
+        the served model's channel count (12 for newrale).
         """
+        channels = channels or self.channels
         limit = min(_bucket(limit or self.max_batch, self.max_batch,
                             self._bucket_floor),
                     self.max_batch)
