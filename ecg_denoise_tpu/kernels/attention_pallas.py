@@ -51,7 +51,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False  # force-flipped by tests; CPU auto-interprets (_interp)
+
+
+def _interp() -> bool:
+    """Interpret-mode switch for every pallas_call in this module.
+
+    True when tests force it (_INTERPRET) or when the active backend is
+    CPU — Mosaic only lowers for TPU, and the virtual-device mesh paths
+    (tests/conftest.py, __graft_entry__.dryrun_multichip) run the kernel
+    path on CPU. Trace-time query; the backend is already fixed by then.
+    """
+    return _INTERPRET or jax.default_backend() == "cpu"
+
+
+def _data_mesh(batch: Optional[int] = None):
+    """The ambient `with mesh:` mesh, iff the kernels should shard over it.
+
+    pallas_call does NOT compose with the jit-SPMD partitioner the way
+    plain HLO does (a Mosaic custom call has no partitioning rule — XLA
+    would replicate its operands), so when a mesh with a 'data' axis is
+    active the public wrappers below route through explicit
+    `jax.shard_map` twins: batch-sharded operands, replicated bias/toep,
+    and a hand-placed psum on the bias/toep cotangents (shard_map with
+    check_vma=False does NOT auto-reduce replicated-input gradients —
+    the round-3 packed-engine lesson; pallas out_shapes carry no vma, so
+    check_vma must stay off). Returns None (single-device path) when no
+    mesh is active or the batch doesn't divide the 'data' axis.
+
+    jit caches are resource-env-keyed: the same jitted fn retraces when
+    the ambient mesh changes, so the dispatch below is safe under reuse.
+    """
+    from jax._src import mesh as mesh_lib
+
+    m = mesh_lib.thread_resources.env.physical_mesh
+    if m.empty or "data" not in m.axis_names:
+        return None
+    if batch is not None and batch % m.shape["data"] != 0:
+        return None
+    return m
 
 
 def _softmax_f32(logits):
@@ -516,7 +554,7 @@ def _fwd_dense(q, k, v, bias, P):
             bytes_accessed=q.size * 4 * 4,
             transcendentals=B * H * L * L,
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(*args)
     return out.transpose(0, 1, 3, 2)  # (B, H, L, D)
 
@@ -654,7 +692,7 @@ def _fwd_call(qt, kt, vt, bias, H, L, *, want_s=False):
             bytes_accessed=qt.size * 4 * 4,
             transcendentals=B * H * L * L,
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(*args)
 
 
@@ -737,7 +775,7 @@ def _bwd_call(qt, kt, vt, bias, gt, ot, s, H, L, *, want_dbias):
             bytes_accessed=qt.size * 4 * 8,
             transcendentals=B * H * L * L,
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(*args)
     if has_bias and want_dbias:
         dq, dk, dv, dbias = outs
@@ -897,6 +935,11 @@ def _off_spec(G):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rpos_single(q, k, v, toep, W: int, offsets=None):
+    """Single-device fused_attention_rpos (see the public dispatcher)."""
+    return _rpos_fwd_impl(q, k, v, toep, W, offsets)
+
+
 def fused_attention_rpos(q, k, v, toep, W: int, offsets=None):
     """Per-window R-peak biased attention, fully fused.
 
@@ -908,8 +951,15 @@ def fused_attention_rpos(q, k, v, toep, W: int, offsets=None):
     offsets: (B,) float32 window starts (r_pos - W//2, whole numbers).
     W: static window width. Gradients flow to q/k/v/toep (the table's
     scatter-transpose runs in XLA outside); offsets get zero cotangents.
+
+    Under an ambient mesh with a 'data' axis this dispatches to an
+    explicit shard_map twin (batch-sharded q/k/v/offsets, replicated
+    toep, psum'd dtoep) — see _data_mesh for why jit-SPMD alone cannot
+    shard a Mosaic custom call.
     """
-    return _rpos_fwd_impl(q, k, v, toep, W, offsets)
+    if _data_mesh(q.shape[0]) is not None:
+        return _rpos_dp(q, k, v, toep, W, offsets)
+    return _rpos_single(q, k, v, toep, W, offsets)
 
 
 def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp, *, want_s=False):
@@ -937,7 +987,7 @@ def _rpos_call(qt, kt, vt, toep_bd, off, W, L, Hp, Lp, *, want_s=False):
             bytes_accessed=qt.size * 4 * 4,
             transcendentals=B * Hp * Lp * Lp,
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(qt, kt, vt, toep_bd, off)
 
 
@@ -998,7 +1048,7 @@ def _rpos_bwd_call(qt, kt, vt, toep_bd, off, gt, ot, s, W, L, Hp, Lp):
             bytes_accessed=qt.size * 4 * 8,
             transcendentals=B * Hp * Lp * Lp,
         ),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(qt, kt, vt, toep_bd, off, gt, ot, s)
     if flash:
         dtoep = dtoep.transpose(0, 2, 1)
@@ -1023,7 +1073,143 @@ def _rpos_bwd(W, res, g):
     return dq, dk, dv, dtoep, jnp.zeros_like(offsets)
 
 
-fused_attention_rpos.defvjp(_rpos_fwd, _rpos_bwd)
+_rpos_single.defvjp(_rpos_fwd, _rpos_bwd)
+
+
+# --- shard_map twins (multi-chip; see _data_mesh docstring) ------------------
+#
+# Outer custom_vjp whose forward AND backward are each one explicit
+# jax.shard_map over the ambient mesh's 'data' axis: operands and
+# residuals batch-sharded, the bias/toep replicated in and its cotangent
+# explicitly psum'd over 'data' before leaving the shard_map (with
+# check_vma=False nothing reduces replicated-input grads for us). The
+# single-device kernels run unchanged per shard — local batch B/n_data
+# picks its own lane-pack factor, which is numerically exact either way.
+# Numerics pinned by tests/test_mesh_pallas.py (DP + DPxTP equality) and
+# __graft_entry__.dryrun_multichip's kernel leg.
+
+def _dp_specs():
+    from jax.sharding import PartitionSpec as P
+
+    return P("data"), P()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rpos_dp(q, k, v, toep, W: int, offsets=None):
+    dp, rep = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v, t, o: _rpos_fwd_impl(q, k, v, t, W, o),
+        mesh=_data_mesh(), in_specs=(dp, dp, dp, rep, dp),
+        out_specs=dp, check_vma=False,
+    )
+    return f(q, k, v, toep, offsets)
+
+
+def _rpos_dp_fwd(q, k, v, toep, W, offsets):
+    dp, rep = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v, t, o: _rpos_fwd_impl(q, k, v, t, W, o, want_s=True),
+        mesh=_data_mesh(), in_specs=(dp, dp, dp, rep, dp),
+        out_specs=(dp, dp), check_vma=False,
+    )
+    out, s = f(q, k, v, toep, offsets)
+    return out, (q, k, v, toep, offsets, out, s)
+
+
+def _rpos_dp_bwd(W, res, g):
+    q, k, v, toep, offsets, o, s = res
+    dp, rep = _dp_specs()
+
+    def body(q, k, v, toep, offsets, o, s, g):
+        dq, dk, dv, dtoep, doff = _rpos_bwd(W, (q, k, v, toep, offsets, o, s), g)
+        return dq, dk, dv, jax.lax.psum(dtoep, "data"), doff
+
+    f = jax.shard_map(
+        body, mesh=_data_mesh(),
+        in_specs=(dp, dp, dp, rep, dp, dp, dp, dp),
+        out_specs=(dp, dp, dp, rep, dp), check_vma=False,
+    )
+    return f(q, k, v, toep, offsets, o, s, g)
+
+
+_rpos_dp.defvjp(_rpos_dp_fwd, _rpos_dp_bwd)
+
+
+@jax.custom_vjp
+def _fused_dp(q, k, v, bias):
+    dp, rep = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v, b: _fwd(q, k, v, b), mesh=_data_mesh(),
+        in_specs=(dp, dp, dp, rep), out_specs=dp, check_vma=False,
+    )
+    return f(q, k, v, bias)
+
+
+def _fused_dp_fwd(q, k, v, bias):
+    dp, rep = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v, b: _fwd(q, k, v, b, want_s=True), mesh=_data_mesh(),
+        in_specs=(dp, dp, dp, rep), out_specs=(dp, dp), check_vma=False,
+    )
+    out, s = f(q, k, v, bias)
+    return out, (q, k, v, bias, out, s)
+
+
+def _fused_dp_bwd(res, g):
+    q, k, v, bias, o, s = res
+    dp, rep = _dp_specs()
+
+    def body(q, k, v, bias, g, o, s):
+        dq, dk, dv, dbias = _bwd(q, k, v, bias, g, o, s)
+        return dq, dk, dv, jax.lax.psum(dbias, "data")
+
+    f = jax.shard_map(
+        body, mesh=_data_mesh(),
+        in_specs=(dp, dp, dp, rep, dp, dp, dp),
+        out_specs=(dp, dp, dp, rep), check_vma=False,
+    )
+    return f(q, k, v, bias, g, o, s)
+
+
+_fused_dp.defvjp(_fused_dp_fwd, _fused_dp_bwd)
+
+
+@jax.custom_vjp
+def _fused_dp_nobias(q, k, v):
+    dp, _ = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v: _fwd(q, k, v, None), mesh=_data_mesh(),
+        in_specs=(dp, dp, dp), out_specs=dp, check_vma=False,
+    )
+    return f(q, k, v)
+
+
+def _fused_dp_nb_fwd(q, k, v):
+    dp, _ = _dp_specs()
+    f = jax.shard_map(
+        lambda q, k, v: _fwd(q, k, v, None, want_s=True), mesh=_data_mesh(),
+        in_specs=(dp, dp, dp), out_specs=(dp, dp), check_vma=False,
+    )
+    out, s = f(q, k, v)
+    return out, (q, k, v, out, s)
+
+
+def _fused_dp_nb_bwd(res, g):
+    q, k, v, o, s = res
+    dp, _ = _dp_specs()
+
+    def body(q, k, v, g, o, s):
+        dq, dk, dv, _ = _bwd(q, k, v, None, g, o, s)
+        return dq, dk, dv
+
+    f = jax.shard_map(
+        body, mesh=_data_mesh(), in_specs=(dp,) * 6,
+        out_specs=(dp, dp, dp), check_vma=False,
+    )
+    return f(q, k, v, g, o, s)
+
+
+_fused_dp_nobias.defvjp(_fused_dp_nb_fwd, _fused_dp_nb_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -1071,13 +1257,26 @@ def fused_attention_rpos_blc(q2, k2, v2, toep, W: int, offsets,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_single(q, k, v, bias: Optional[jnp.ndarray] = None):
+    """Single-device fused_attention (see the public dispatcher)."""
+    return _fwd(q, k, v, bias)
+
+
 def fused_attention(q, k, v, bias: Optional[jnp.ndarray] = None):
     """softmax(q @ k^T + bias) @ v, fully fused in VMEM per (b, h).
 
     q is pre-scaled by the caller (same contract as
     ops.attention.multi_head_attention). bias: (1, H, L, L) or None.
+
+    Under an ambient mesh with a 'data' axis this dispatches to an
+    explicit shard_map twin (batch-sharded operands, replicated bias,
+    psum'd dbias) — see _data_mesh.
     """
-    return _fwd(q, k, v, bias)
+    if _data_mesh(q.shape[0]) is not None:
+        if bias is None:
+            return _fused_dp_nobias(q, k, v)
+        return _fused_dp(q, k, v, bias)
+    return _fused_single(q, k, v, bias)
 
 
 def _fused_fwd(q, k, v, bias):
@@ -1090,7 +1289,7 @@ def _fused_bwd(res, g):
     return _bwd(q, k, v, bias, g, o, s)
 
 
-fused_attention.defvjp(_fused_fwd, _fused_bwd)
+_fused_single.defvjp(_fused_fwd, _fused_bwd)
 
 
 # --- glue-free stream interface (round-3c) ----------------------------------
@@ -1155,7 +1354,12 @@ def fused_attention_blc(q2, k2, v2, bias, num_heads: int):
 
 def blc_wanted() -> bool:
     """ECG_ATTN_GLUE=blc routes MSAttention through the stream-layout
-    interface (A/B experiment knob, read at trace time)."""
+    interface (A/B experiment knob, read at trace time). Disabled under an
+    ambient mesh: the blc wrappers have no shard_map twins (they are a
+    measured single-chip A/B instrument, not a production path — RESULTS.md
+    'measured negatives'), so mesh runs take the sharded default kernels."""
     import os
 
+    if _data_mesh() is not None:
+        return False
     return os.environ.get("ECG_ATTN_GLUE", "") == "blc"
