@@ -99,6 +99,19 @@ def _roofline_fields(flops_per_call: float | None, calls_per_sec: float,
     return fields
 
 
+def _maxfree_guard(model, params, batch_stats, probe, context: str) -> None:
+    """Audit the ECG_ATTN_MAXFREE escape hatch on this bench's own workload
+    (exactness is conditional on max logit < 60 — VERDICT r4 item 5)."""
+    from ecg_denoise_tpu.utils.logit_audit import maxfree_active, run_maxfree_guard
+
+    if not maxfree_active():
+        return
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    run_maxfree_guard(model, variables, probe, context=context)
+
+
 def _load_reference_ralenet():
     import sys
     import types
@@ -166,16 +179,24 @@ def main() -> None:
                          "32 training (the reference's batch, for a fair "
                          "baseline)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeat", type=int, default=None,
+                    help="independent timing repetitions reported as "
+                         "min/median/max in the one JSON line (value = "
+                         "median). Tunnel dispatch gives single draws a "
+                         "±20%% spread at train @256 (23.4-28.0k across "
+                         "round-4 sessions), so headlines should quote the "
+                         "median. Default: 3 for --train, 1 for inference.")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="fused-attention Pallas kernel inside the XLA "
                          "model — the measured-fastest path BOTH ways "
                          "(fwd 83.0k w/s @2048 vs 35.0k plain XLA; train "
-                         "16.0k @32 / 23.6k @256 vs 14.5k/16.6k XLA). "
-                         "Default: on for inference, off for training "
-                         "(the training CLI default is the XLA path the "
-                         "parity experiment certified).")
+                         "@256: 23.4-28.0k across round-4 sessions — "
+                         "run-to-run tunnel variance, quote the --repeat "
+                         "median — vs 16.6k XLA). Default: on for BOTH "
+                         "since round 5 (the kernel trainer is "
+                         "quality-certified: RESULTS.md 100-epoch A/B).")
     # --fast / --packed / --fast-train were the whole-stage fused and
     # window-packed engines — retired round 4 after losing their final
     # A/Bs (40.1k / 77.1k vs the default 83.0k w/s; RESULTS.md "retired
@@ -202,7 +223,12 @@ def main() -> None:
     if args.batch is None:
         args.batch = 32 if args.train else 2048
     if args.use_pallas is None:
-        args.use_pallas = not args.train
+        # Round-5 default flip (VERDICT r4 item 2): the kernel path is the
+        # measured-fastest AND quality-certified trainer, so it is the
+        # default both ways; --no-use-pallas is the plain-XLA escape.
+        args.use_pallas = True
+    if args.repeat is None:
+        args.repeat = 3 if args.train else 1
 
     import jax
     import jax.numpy as jnp
@@ -227,6 +253,8 @@ def main() -> None:
         noisy = jnp.asarray(rng.standard_normal((n, 2, 256)), jnp.float32)
         clean = noisy * 0.5
         state, tx = create_train_state(model, jax.random.PRNGKey(0), noisy[:2])
+        _maxfree_guard(model, state.params, state.batch_stats, noisy[:bs],
+                       "bench-train")
         train_epoch, _ = make_epoch_fns(
             model, tx, donate=False,
             detect_r_pos=args.r_pos == "detect",
@@ -234,15 +262,21 @@ def main() -> None:
         key = jax.random.PRNGKey(1)
         state, m = train_epoch(state, noisy, clean, key, bs)  # compile
         jax.device_get(m)
-        t0 = time.time()
         epochs = max(args.iters // 5, 1)
-        for i in range(epochs):
-            state, m = train_epoch(state, noisy, clean, jax.random.PRNGKey(i), bs)
-        # device_get, not block_until_ready: a host round-trip of the final
-        # metrics is a hard data dependency on the whole epoch chain even if
-        # the remote-tunnel backend treats block_until_ready as a no-op.
-        jax.device_get(m)
-        wps = epochs * (n // bs) * bs / (time.time() - t0)
+        samples = []
+        for r in range(args.repeat):
+            t0 = time.time()
+            for i in range(epochs):
+                state, m = train_epoch(state, noisy, clean,
+                                       jax.random.PRNGKey(r * epochs + i), bs)
+            # device_get, not block_until_ready: a host round-trip of the
+            # final metrics is a hard data dependency on the whole epoch
+            # chain even if the remote-tunnel backend treats
+            # block_until_ready as a no-op.
+            jax.device_get(m)
+            samples.append(epochs * (n // bs) * bs / (time.time() - t0))
+        samples.sort()
+        wps = samples[len(samples) // 2]  # median: tunnel-variance robust
         train_baseline = (
             measure_torch_train_baseline() if args.measure_baseline
             else TORCH_CPU_TRAIN_BASELINE_WPS
@@ -254,6 +288,9 @@ def main() -> None:
             "path": "attn-pallas" if args.use_pallas else "xla",
             "value": round(wps, 1),
             "unit": "windows/sec/chip",
+            **({"repeat": args.repeat,
+                "min": round(samples[0], 1),
+                "max": round(samples[-1], 1)} if args.repeat > 1 else {}),
             "vs_baseline": round(wps / train_baseline, 2),
             **_roofline_fields(flops, wps / n if flops else 0.0, n,
                                flop_key="gflops_per_window_fwd_bwd"),
@@ -265,6 +302,8 @@ def main() -> None:
     variables = jax.jit(lambda k, s: model.init(k, s, train=False))(
         jax.random.PRNGKey(0), x[:2]
     )
+    _maxfree_guard(model, variables["params"], variables.get("batch_stats"),
+                   x[: min(args.batch, 256)], "bench-fwd")
 
     def fwd_body(batch):
         # Cast keeps the chained fori_loop carry type stable (a bf16
@@ -285,13 +324,18 @@ def main() -> None:
 
     jax.block_until_ready(fwd(x))  # compile + warmup
     jax.device_get(fwd(x)[:1, :1, :1])
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = fwd(x)
-    # Hard sync: host round-trip of a slice of the LAST output (see --train).
-    jax.device_get(out[:1, :1, :1])
-    dt = (time.time() - t0) / args.iters / K
-    wps = args.batch / dt
+    samples = []
+    for _ in range(args.repeat):
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = fwd(x)
+        # Hard sync: host round-trip of a slice of the LAST output
+        # (see --train).
+        jax.device_get(out[:1, :1, :1])
+        samples.append(args.iters * K * args.batch / (time.time() - t0))
+    samples.sort()
+    wps = samples[len(samples) // 2]
+    dt = args.batch / wps
 
     baseline = (
         measure_torch_baseline() if args.measure_baseline else TORCH_CPU_BASELINE_WPS
@@ -307,6 +351,9 @@ def main() -> None:
                 "path": "attn-pallas" if args.use_pallas else "xla",
                 "value": round(wps, 1),
                 "unit": "windows/sec/chip",
+                **({"repeat": args.repeat,
+                    "min": round(samples[0], 1),
+                    "max": round(samples[-1], 1)} if args.repeat > 1 else {}),
                 "vs_baseline": round(wps / baseline, 2),
                 **_roofline_fields(flops, 1.0 / dt, args.batch),
             }

@@ -50,10 +50,14 @@ def main():
     # were retired in round 4 after losing their final A/Bs to
     # --use_pallas (40.1k / 77.1k vs 83.0k w/s; RESULTS.md "retired
     # engines"). Git history pre-1654be4 has the code.
-    p.add_argument("--use_pallas", action="store_true",
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="fused-attention kernel inside the XLA model — the "
                         "measured-fastest serving path on TPU (83.0k w/s "
-                        "at batch 2048 vs 35.0k plain XLA)")
+                        "at batch 2048 vs 35.0k plain XLA). Default: ON "
+                        "when the backend is a TPU (round-5 flip, VERDICT "
+                        "r4 item 2), off elsewhere (Mosaic is TPU-only); "
+                        "--no-use_pallas forces plain XLA")
     p.add_argument("--r_pos", type=str, default=None, choices=["detect"],
                    help="per-window R-peak-centred attention biases "
                         "(RaleNet-family checkpoints with the rel-pos "
@@ -61,9 +65,10 @@ def main():
                         "trained quality, fused-kernel fast path)")
     p.add_argument("--n_data", type=int, default=0,
                    help="data-parallel serving over an ('data','model') "
-                        "mesh of this many devices (power of two; XLA "
-                        "model only — batches shard on 'data', params "
-                        "replicate)")
+                        "mesh of this many devices (power of two — "
+                        "batches shard on 'data', params replicate; "
+                        "composes with --use_pallas via the kernels' "
+                        "shard_map twins since round 5)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set "
                         "before first backend use — env vars are too late "
@@ -81,11 +86,15 @@ def main():
     if r_pos and args.model not in ("ralenet", "ralenet_mlp"):
         print(f"--r_pos needs a rel-pos-bias model; ignored for {args.model}")
         r_pos = None
+    if args.use_pallas is None:
+        import jax
+
+        args.use_pallas = jax.default_backend() == "tpu"
     mesh = None
     if args.n_data:
-        if args.use_pallas:
-            sys.exit("--n_data mesh serving runs the XLA model; drop "
-                     "--use_pallas")
+        # Mesh + kernel serving composes since round 5: the fwd traces
+        # inside the mesh context, so the fused kernels dispatch to their
+        # shard_map twins (kernels/attention_pallas.py _data_mesh).
         from ecg_denoise_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)

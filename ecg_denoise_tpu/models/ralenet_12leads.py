@@ -22,6 +22,12 @@ class NewRale(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    @property
+    def in_channels(self) -> int:
+        """Served window channel count (12-lead; every other family is 2 —
+        serving.Denoiser derives its bucket shapes from this)."""
+        return 12
+
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, 12, L)
         lrelu = lambda h: nn.leaky_relu(h, negative_slope=0.01)

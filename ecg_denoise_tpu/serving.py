@@ -47,13 +47,17 @@ class Denoiser:
 
     def __init__(self, model, variables, max_batch: int = 1024,
                  r_pos: Optional[str] = None, mesh=None,
-                 channels: int = 2):
+                 channels: Optional[int] = None):
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
         # Window channel count (12 for newrale) — warmup must compile
-        # buckets at the served shape, not the 2-lead default.
-        self.channels = channels
+        # buckets at the served shape, not a 2-lead default. Derived from
+        # the model (models declare in_channels) so a directly-constructed
+        # 12-lead Denoiser pre-compiles the right buckets (ADVICE r4).
+        self.channels = (channels if channels is not None
+                         else getattr(model, "in_channels", 2))
+        self._maxfree_audited = False
         import threading
 
         self._staging = {}  # per-bucket persistent padding buffers
@@ -64,15 +68,14 @@ class Denoiser:
         # Data-parallel serving over a ('data','model') mesh: parameters
         # replicated, request batches sharded on 'data' — jit-SPMD runs
         # each shard on its own chip, gathers on fetch. Collectives ride
-        # ICI; no reference counterpart (single-GPU torch). The attention
-        # kernel carries no SPMD partitioning rule, so mesh serving is the
-        # XLA model only.
+        # ICI; no reference counterpart (single-GPU torch). Since round 5
+        # the attention-kernel path shards too: the fwd traces inside the
+        # mesh context, so the kernels dispatch to their explicit
+        # shard_map twins (kernels/attention_pallas.py _data_mesh) —
+        # bucket sizes are always multiples of the 'data' axis
+        # (_bucket_floor), satisfying the twins' divisibility guard.
         self._bucket_floor = 1
         if mesh is not None:
-            if getattr(model, "use_pallas", False):
-                raise ValueError(
-                    "mesh serving runs the XLA model; build the Denoiser "
-                    "with use_pallas=False")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_data = mesh.shape["data"]
@@ -93,6 +96,13 @@ class Denoiser:
             jit_kw = dict(in_shardings=(self._batch_sharding,),
                           out_shardings=self._batch_sharding)
 
+        from contextlib import nullcontext
+
+        # The kernel shard_map twins key off the trace-time ambient mesh,
+        # so the jitted fwd enters it in-body (active during tracing; a
+        # no-op on later cached calls).
+        mesh_ctx = (lambda: mesh) if mesh is not None else nullcontext
+
         if r_pos == "detect":
             # Per-window R-peak-centred attention bias (the paper's
             # namesake feature, +0.16 dB trained quality — RESULTS.md).
@@ -107,8 +117,9 @@ class Denoiser:
 
             @partial(jax.jit, **jit_kw)
             def fwd(batch):
-                return model.apply(variables, batch, train=False,
-                                   r_pos=detect_r_peaks(batch))
+                with mesh_ctx():
+                    return model.apply(variables, batch, train=False,
+                                       r_pos=detect_r_peaks(batch))
 
         else:
             # Measured fastest serving config on v5e: the model with
@@ -121,7 +132,8 @@ class Denoiser:
 
             @partial(jax.jit, **jit_kw)
             def fwd(batch):
-                return model.apply(variables, batch, train=False)
+                with mesh_ctx():
+                    return model.apply(variables, batch, train=False)
 
         self._fwd = fwd
 
@@ -171,9 +183,37 @@ class Denoiser:
         out = np.empty_like(x)
         t = {"pad_ms": 0.0, "dispatch_ms": 0.0, "fetch_ms": 0.0}
         with self._lock:
+            self._audit_maxfree(x)
             self._denoise_into(x, out, n, t)
         t = {k: round(v, 3) for k, v in t.items()}
         return (out[0] if squeeze else out), t
+
+    def _audit_maxfree(self, x) -> None:
+        """Guard the ECG_ATTN_MAXFREE escape hatch on the FIRST real batch.
+
+        The maxfree kernel is exact only below pre-softmax logit 60
+        (kernels/attention_pallas.py _MAXFREE_CAP) and the trained
+        flagship checkpoint violates it (191.5 — results/round4/
+        logit_max_full.log), so when the knob is on, the first served
+        batch is audited (one extra jitted forward) and the request is
+        REFUSED above the cap unless ECG_ATTN_MAXFREE_FORCE=1
+        (VERDICT r4 item 5). Real request data, not a synthetic probe:
+        logits are input-dependent and a random probe is only a lower
+        bound."""
+        # getattr: test doubles subclass Denoiser without running __init__.
+        if getattr(self, "_maxfree_audited", False):
+            return
+        from ecg_denoise_tpu.utils.logit_audit import (
+            maxfree_active,
+            run_maxfree_guard,
+        )
+
+        if maxfree_active():
+            run_maxfree_guard(self.model, self.variables,
+                              jnp.asarray(x[: self._bucket_floor * 8],
+                                          jnp.float32),
+                              context="serving")
+        self._maxfree_audited = True
 
     def _denoise_into(self, x, out, n, t):
         import time
@@ -263,7 +303,9 @@ class Denoiser:
         `limit` windows never hits a cold compile. `channels` defaults to
         the served model's channel count (12 for newrale).
         """
-        channels = channels or self.channels
+        # `is None`, not `or`: an explicit channels=0 should error on the
+        # zeros() below, not silently fall back to the default (ADVICE r4).
+        channels = self.channels if channels is None else channels
         limit = min(_bucket(limit or self.max_batch, self.max_batch,
                             self._bucket_floor),
                     self.max_batch)

@@ -63,13 +63,24 @@ def train_log(log_file: str = "./train_log.jsonl") -> Callable:
 
 
 def _notify(line: str) -> None:
-    """Pipe the run record to ECG_NOTIFY_CMD, if configured (best-effort)."""
+    """Pipe the run record to ECG_NOTIFY_CMD, if configured (best-effort).
+
+    Fire-and-forget: the hook gets the record on stdin and runs detached —
+    a slow or hung notifier must not delay queued runs' teardown (ADVICE
+    r4; the hook is operator-controlled and best-effort by contract)."""
     cmd = os.environ.get("ECG_NOTIFY_CMD")
     if not cmd:
         return
     try:
-        subprocess.run(cmd, shell=True, input=line.encode(),
-                       timeout=30, check=False,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        proc = subprocess.Popen(cmd, shell=True, stdin=subprocess.PIPE,
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL,
+                                start_new_session=True)
+        if proc.stdin is not None:
+            try:
+                proc.stdin.write(line.encode())
+                proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass
     except (OSError, subprocess.SubprocessError):
         pass

@@ -116,15 +116,21 @@ def test_denoiser_mesh_dp_matches_single_device(tmp_path):
         x = np.random.default_rng(n).standard_normal((n, 2, 256)).astype(np.float32)
         np.testing.assert_allclose(dp(x), single(x), rtol=1e-3, atol=1e-5)
 
-    # Pallas paths carry no SPMD rules: constructing one on a mesh fails.
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="XLA model"):
-        # Raises in __init__, before variables are ever applied — the
-        # unet variables never meet the ralenet model.
-        Denoiser(build_model("ralenet", use_pallas=True),
-                 {"params": state.params, "batch_stats": state.batch_stats},
-                 mesh=mesh)
+    # Mesh + kernel serving composes since round 5: the fwd traces inside
+    # the mesh context, so fused attention dispatches to its shard_map
+    # twins (kernels/attention_pallas.py _data_mesh; interpret-mode on
+    # this CPU mesh). DP kernel serving must match single-device kernel
+    # serving.
+    model_k = build_model("ralenet", use_pallas=True)
+    state_k, _ = create_train_state(
+        model_k, jax.random.PRNGKey(0), jnp.zeros((2, 2, 256), jnp.float32)
+    )
+    vars_k = {"params": state_k.params, "batch_stats": state_k.batch_stats}
+    single_k = Denoiser(model_k, vars_k, max_batch=16)
+    dp_k = Denoiser(model_k, vars_k, max_batch=16, mesh=mesh)
+    assert "+attn-pallas+dp8" in dp_k.inference_path
+    x = np.random.default_rng(7).standard_normal((16, 2, 256)).astype(np.float32)
+    np.testing.assert_allclose(dp_k(x), single_k(x), rtol=1e-3, atol=1e-5)
 
 
 def test_streaming_matches_denoise_record_passthrough():
