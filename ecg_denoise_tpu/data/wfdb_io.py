@@ -170,6 +170,52 @@ def wrann(record_path: str, samples, symbols, ext: str = "atr") -> None:
     np.asarray(out, dtype="<u2").tofile(f"{record_path}.{ext}")
 
 
+def _pack_212(flat: np.ndarray) -> np.ndarray:
+    """Pack int samples (12-bit two's complement range) into WFDB format
+    212 bytes — the exact inverse of _unpack_212."""
+    flat = np.asarray(flat, np.int32)
+    if np.any((flat < -2048) | (flat > 2047)):
+        raise ValueError("format 212 samples must fit 12-bit signed range")
+    if flat.size % 2:
+        flat = np.concatenate([flat, np.zeros(1, np.int32)])
+    u = flat & 0xFFF  # two's complement into 12 bits
+    s0, s1 = u[0::2], u[1::2]
+    out = np.empty((s0.size, 3), np.uint8)
+    out[:, 0] = s0 & 0xFF
+    out[:, 1] = ((s0 >> 8) & 0x0F) | (((s1 >> 8) & 0x0F) << 4)
+    out[:, 2] = s1 & 0xFF
+    return out.reshape(-1)
+
+
+def wrsamp_212(record_path: str, signal: np.ndarray, fs: float = 360.0,
+               units_per_mv: int = 200) -> None:
+    """Write a single-segment format-212 WFDB record (.hea + .dat) —
+    the inverse of rdrecord_digital.
+
+    Exists so miniature 212 fixtures can be committed for the end-to-end
+    real-data ingestion rehearsal (tests/test_wfdb_e2e.py; no real
+    PhysioNet files are downloadable in this environment) and so detector/
+    denoiser outputs can be exported in the standard format.
+
+    signal: (sig_len, n_sig) DIGITAL integer samples in [-2048, 2047].
+    """
+    signal = np.asarray(signal)
+    if signal.ndim != 2:
+        raise ValueError(f"signal must be (sig_len, n_sig), got {signal.shape}")
+    sig_len, n_sig = signal.shape
+    base = os.path.basename(record_path)
+    dat_name = base + ".dat"
+    lines = [f"{base} {n_sig} {fs:g} {sig_len}"]
+    for i in range(n_sig):
+        # file fmt gain adc_res adc_zero init_value checksum block_size desc
+        lines.append(f"{dat_name} 212 {units_per_mv} 11 0 "
+                     f"{int(signal[0, i])} 0 0 sig{i}")
+    with open(record_path + ".hea", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    _pack_212(signal.reshape(-1)).tofile(
+        os.path.join(os.path.dirname(record_path), dat_name))
+
+
 # Record ids used by the reference data pipeline.
 MITBIH_RECORDS = [
     100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 111, 112, 113, 114, 115,
