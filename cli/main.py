@@ -54,7 +54,19 @@ def main():
         tr_n, tr_c = multihost.process_shard(tr_n, tr_c)
         te_n, te_c = multihost.process_shard(te_n, te_c)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = build_model(cfg.model_index, use_pallas=cfg.use_pallas, dtype=dtype)
+    use_pallas = cfg.use_pallas
+    if use_pallas:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Loud fallback: Mosaic kernels only lower for TPU; on other
+            # backends they would run in the (slow) interpreter. Tests and
+            # the driver dryrun use interpret mode deliberately — the
+            # training CLI should not.
+            print(f"use_pallas: backend is '{jax.default_backend()}', not "
+                  "tpu — falling back to the plain XLA path")
+            use_pallas = False
+    model = build_model(cfg.model_index, use_pallas=use_pallas, dtype=dtype)
 
     mesh = None
     if cfg.n_data or cfg.n_model > 1 or distributed:

@@ -89,6 +89,14 @@ def test_train_log_notify_hook(tmp_path, monkeypatch):
         return x
 
     assert work(x=5) == 5
+    # The hook is fire-and-forget (a hung notifier must not delay run
+    # teardown — ADVICE r4), so poll briefly for its output.
+    import time
+
+    for _ in range(100):
+        if sink.exists() and sink.read_text().strip():
+            break
+        time.sleep(0.05)
     rec = json.loads(sink.read_text())
     assert rec["fn"] == "work" and rec["kwargs"] == {"x": 5}
 
