@@ -35,7 +35,14 @@ class TrainConfig:
     # default. --no-use_pallas is the plain-XLA escape (and the setting
     # the round-3 sweep grid + its round-5 spot-audit were trained with).
     use_pallas: bool = True
-    dtype: str = "float32"
+    # bf16 mixed precision (f32 master weights, bf16 activations/matmuls,
+    # f32 softmax/normalizer in-kernel) is the round-5 training default:
+    # +40% train throughput at @256 (19,978 -> 27,998 w/s, back-to-back
+    # A/B results/round5/r5_bench_train256_{f32,bf16}.log) and the
+    # 100-epoch quality gate landed ABOVE the f32 control (last-5 means
+    # 14.88 XLA / 15.37 kernel vs 14.23 f32 — results/round5/
+    # r5_bf16_*.log). --dtype float32 reproduces the f32 sweep grid.
+    dtype: str = "bfloat16"
     n_data: int | None = None  # data-parallel mesh size (None = all devices)
     n_model: int = 1  # tensor-parallel mesh size
     split_file: str | None = None  # pin/export exact train/test indices
@@ -76,7 +83,13 @@ def build_argparser(description: str = "") -> argparse.ArgumentParser:
                         "ON since round 5 — fastest certified trainer; "
                         "--no-use_pallas = plain XLA, the reference-parity "
                         "setting the sweep grid was trained with)")
-    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (master weights stay f32 either "
+                        "way). bfloat16 default since round 5: +40%% "
+                        "train throughput, 100-epoch quality gate passed "
+                        "ABOVE the f32 control; --dtype float32 is the "
+                        "reference-parity setting the sweep grid used")
     p.add_argument("--n_data", type=int, default=None)
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--split_file", type=str, default=None,

@@ -39,9 +39,17 @@ def parse(path, epoch):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--output", default="output.txt")
+    ap.add_argument("--output", default=None,
+                    help="result-lines file (default: output.txt if "
+                         "present, else the COMMITTED round-5 spot-audit "
+                         "results/round5/sweep_emb_m4_lines.txt)")
     ap.add_argument("--epoch", type=int, default=99)
     args = ap.parse_args()
+    if args.output is None:
+        import os
+
+        args.output = ("output.txt" if os.path.exists("output.txt")
+                       else "results/round5/sweep_emb_m4_lines.txt")
     grid = parse(args.output, args.epoch)
 
     print("# PVC-corpus sweep grid — test SNR dB (RMSE) at 100 epochs\n")
