@@ -179,13 +179,14 @@ def main() -> None:
                          "32 training (the reference's batch, for a fair "
                          "baseline)")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--repeat", type=int, default=None,
+    ap.add_argument("--repeat", type=int, default=3,
                     help="independent timing repetitions reported as "
                          "min/median/max in the one JSON line (value = "
                          "median). Tunnel dispatch gives single draws a "
                          "±20%% spread at train @256 (23.4-28.0k across "
-                         "round-4 sessions), so headlines should quote the "
-                         "median. Default: 3 for --train, 1 for inference.")
+                         "round-4 sessions), so headlines quote the "
+                         "median (the driver's BENCH_r*.json carries the "
+                         "spread).")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                     default=None,
@@ -227,8 +228,6 @@ def main() -> None:
         # measured-fastest AND quality-certified trainer, so it is the
         # default both ways; --no-use-pallas is the plain-XLA escape.
         args.use_pallas = True
-    if args.repeat is None:
-        args.repeat = 3 if args.train else 1
 
     import jax
     import jax.numpy as jnp
