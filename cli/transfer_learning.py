@@ -55,7 +55,13 @@ def main():
     n_train = int(0.8 * len(noisy))
     tr, te = perm[:n_train], perm[n_train:]
 
-    model = NewRale()
+    use_pallas = cfg.use_pallas
+    if use_pallas and jax.default_backend() != "tpu":
+        print(f"use_pallas: backend is '{jax.default_backend()}', not tpu — "
+              "falling back to the plain XLA path")
+        use_pallas = False
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = NewRale(use_pallas=use_pallas, dtype=dtype)
     sample = jnp.asarray(noisy[:2])
     state, _ = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample)
     mask = frozen_param_mask(state.params)

@@ -38,7 +38,7 @@ class TrainConfig:
     # bf16 mixed precision (f32 master weights, bf16 activations/matmuls,
     # f32 softmax/normalizer in-kernel) is the round-5 training default:
     # +40% train throughput at @256 (19,978 -> 27,998 w/s, back-to-back
-    # A/B results/round5/r5_bench_train256_{f32,bf16}.log) and the
+    # A/B results/round5/r5_bench_train256_f32.log and results/round5/r5_bench_train256_bf16.log) and the
     # 100-epoch quality gate landed ABOVE the f32 control (last-5 means
     # 14.88 XLA / 15.37 kernel vs 14.23 f32 — results/round5/
     # r5_bf16_*.log). --dtype float32 reproduces the f32 sweep grid.
