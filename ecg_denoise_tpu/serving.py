@@ -209,9 +209,9 @@ class Denoiser:
         )
 
         if maxfree_active():
+            n_probe = getattr(self, "_bucket_floor", 1) * 8
             run_maxfree_guard(self.model, self.variables,
-                              jnp.asarray(x[: self._bucket_floor * 8],
-                                          jnp.float32),
+                              jnp.asarray(x[:n_probe], jnp.float32),
                               context="serving")
         self._maxfree_audited = True
 
