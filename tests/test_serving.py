@@ -206,3 +206,24 @@ def test_denoiser_loads_frozen_mask_checkpoint(tmp_path):
         np.float32)
     y = d(x)
     assert y.shape == (3, 12, 256) and np.isfinite(y).all()
+
+
+def test_denoiser_channels_derived_from_model():
+    """ADVICE r4: a directly-constructed 12-lead Denoiser derives its
+    window channel count from the model (`NewRale.in_channels`), so
+    warmup() pre-compiles the buckets that will actually serve; 2-lead
+    families keep the default 2. An explicit warmup(channels=) is honored
+    verbatim — 0 must not silently fall back to the default."""
+    d12 = Denoiser(build_model("newrale"), variables={}, max_batch=4)
+    assert d12.channels == 12
+    d2 = Denoiser(build_model("unet"), variables={}, max_batch=4)
+    assert d2.channels == 2
+
+    seen = []
+    d12._fwd = lambda b: (seen.append(tuple(b.shape)), b)[1]
+    d12.warmup(length=32, limit=2)
+    assert seen and all(s[1] == 12 for s in seen)
+
+    seen.clear()
+    d12.warmup(channels=5, length=32, limit=2)
+    assert seen and all(s[1] == 5 for s in seen)
